@@ -1,0 +1,91 @@
+"""Model configuration.
+
+Architecture hyperparameters follow OpenAI Whisper's published family sizes so that
+official weights can be imported (see models/convert_hf.py), with two WhisperSeg
+modifications mirrored from the reference:
+
+  * ``max_source_positions`` is truncated to ``total_spec_columns // 2``
+    (reference model.py:79-84; 500 for the default 1000 columns).
+  * the vocabulary is the compact 1024-token segmentation vocabulary
+    (see whisperseg_tpu/tokenizer.py) instead of the 51k BPE vocab.
+
+The config also carries the segmentation metadata the reference stores inside the
+HF config object: ``total_spec_columns``, ``cluster_codebook``,
+``default_segmentation_config``, ``current_step`` (reference model.py:86-108,
+train.py:145-149).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+from ..constants import DEFAULT_TOTAL_SPEC_COLUMNS, NUM_MEL_BINS
+from ..tokenizer import VOCAB_SIZE
+
+
+@dataclass
+class WhisperConfig:
+    d_model: int = 384
+    encoder_layers: int = 4
+    decoder_layers: int = 4
+    num_heads: int = 6
+    d_ff: int = 1536
+    num_mel_bins: int = NUM_MEL_BINS
+    vocab_size: int = VOCAB_SIZE
+    max_source_positions: int = DEFAULT_TOTAL_SPEC_COLUMNS // 2
+    max_target_positions: int = 448
+    dropout: float = 0.0
+    compute_dtype: str = "bfloat16"  # dtype of matmul inputs; params stay float32
+
+    # --- segmentation metadata (persisted with checkpoints) ---
+    total_spec_columns: int = DEFAULT_TOTAL_SPEC_COLUMNS
+    cluster_codebook: Dict[str, int] = field(default_factory=dict)
+    default_segmentation_config: Dict[str, Any] = field(default_factory=dict)
+    current_step: int = 0
+    model_name: str = "custom"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.d_model % self.num_heads == 0
+        return self.d_model // self.num_heads
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "WhisperConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+# Whisper family sizes (d_model / layers / heads), same as the published models.
+_FAMILY = {
+    "tiny": dict(d_model=384, encoder_layers=4, decoder_layers=4, num_heads=6),
+    "base": dict(d_model=512, encoder_layers=6, decoder_layers=6, num_heads=8),
+    "small": dict(d_model=768, encoder_layers=12, decoder_layers=12, num_heads=12),
+    "medium": dict(d_model=1024, encoder_layers=24, decoder_layers=24, num_heads=16),
+    "large": dict(d_model=1280, encoder_layers=32, decoder_layers=32, num_heads=20),
+}
+
+
+def make_config(
+    name: str = "base",
+    total_spec_columns: int = DEFAULT_TOTAL_SPEC_COLUMNS,
+    dropout: float = 0.0,
+    **overrides,
+) -> WhisperConfig:
+    """Build a config for a named Whisper family size."""
+    if name not in _FAMILY:
+        raise ValueError(f"unknown model size {name!r}; choose from {sorted(_FAMILY)}")
+    base = dict(_FAMILY[name])
+    base["d_ff"] = 4 * base["d_model"]
+    base.update(overrides)
+    return WhisperConfig(
+        total_spec_columns=total_spec_columns,
+        max_source_positions=total_spec_columns // 2,
+        dropout=dropout,
+        model_name=name,
+        **base,
+    )

@@ -1,0 +1,384 @@
+"""Whisper encoder-decoder as pure JAX functions over pytree parameters.
+
+A single implementation serves training (teacher forcing) and fast inference
+(pre-allocated KV-cache decoding) — replacing the reference's dual engines
+(HF transformers for training, CTranslate2 for inference; reference model.py:
+625-676, 678-746, convert_hf_to_ct2.py).
+
+TPU-first design choices:
+  * layer parameters are stacked along a leading ``num_layers`` axis and the layer
+    loop is a ``lax.scan`` — compile time stays flat in depth (32-layer large).
+  * matmul inputs are cast to ``config.compute_dtype`` (bfloat16 by default) with
+    float32 accumulation (``preferred_element_type``) — MXU-friendly.
+  * layer norms and softmax run in float32.
+  * the KV cache is laid out ``[num_layers, B, max_len, heads, head_dim]`` and
+    updated with ``dynamic_update_slice`` inside the scan, so one step is a single
+    fused XLA computation.
+
+Shapes follow the conventions of the published Whisper architecture so official
+weights can be imported (models/convert_hf.py). The encoder positional table is
+sinusoidal at init (as in Whisper) but stored as a parameter, mirroring the
+reference's truncation of it to ``total_spec_columns // 2`` rows
+(reference model.py:79-84).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .config import WhisperConfig
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------- init
+
+
+def sinusoid_position_table(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoidal position embedding (interleaved sin/cos halves)."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+def _dense_init(key, shape, scale=None):
+    fan_in = shape[0]
+    scale = scale if scale is not None else 1.0 / math.sqrt(fan_in)
+    return jax.random.normal(key, shape, dtype=jnp.float32) * scale
+
+
+def _layer_params(key, cfg: WhisperConfig, cross_attention: bool) -> Params:
+    d, f = cfg.d_model, cfg.d_ff
+    ks = jax.random.split(key, 12)
+    p = {
+        "ln1_g": jnp.ones((d,)), "ln1_b": jnp.zeros((d,)),
+        "q_w": _dense_init(ks[0], (d, d)), "q_b": jnp.zeros((d,)),
+        "k_w": _dense_init(ks[1], (d, d)),
+        "v_w": _dense_init(ks[2], (d, d)), "v_b": jnp.zeros((d,)),
+        "o_w": _dense_init(ks[3], (d, d)), "o_b": jnp.zeros((d,)),
+        "ln2_g": jnp.ones((d,)), "ln2_b": jnp.zeros((d,)),
+        "fc1_w": _dense_init(ks[4], (d, f)), "fc1_b": jnp.zeros((f,)),
+        "fc2_w": _dense_init(ks[5], (f, d)), "fc2_b": jnp.zeros((d,)),
+    }
+    if cross_attention:
+        p.update({
+            "lnx_g": jnp.ones((d,)), "lnx_b": jnp.zeros((d,)),
+            "xq_w": _dense_init(ks[6], (d, d)), "xq_b": jnp.zeros((d,)),
+            "xk_w": _dense_init(ks[7], (d, d)),
+            "xv_w": _dense_init(ks[8], (d, d)), "xv_b": jnp.zeros((d,)),
+            "xo_w": _dense_init(ks[9], (d, d)), "xo_b": jnp.zeros((d,)),
+        })
+    return p
+
+
+def _stack_layers(key, cfg: WhisperConfig, n: int, cross: bool) -> Params:
+    keys = jax.random.split(key, n)
+    layers = [_layer_params(k, cfg, cross) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def init_params(key, cfg: WhisperConfig) -> Params:
+    d = cfg.d_model
+    k_enc, k_dec, k_c1, k_c2, k_emb = jax.random.split(key, 5)
+    encoder = {
+        "conv1_w": _dense_init(k_c1, (3, cfg.num_mel_bins, d),
+                               scale=1.0 / math.sqrt(3 * cfg.num_mel_bins)),
+        "conv1_b": jnp.zeros((d,)),
+        "conv2_w": _dense_init(k_c2, (3, d, d), scale=1.0 / math.sqrt(3 * d)),
+        "conv2_b": jnp.zeros((d,)),
+        "pos_emb": jnp.asarray(sinusoid_position_table(cfg.max_source_positions, d)),
+        "layers": _stack_layers(k_enc, cfg, cfg.encoder_layers, cross=False),
+        "ln_post_g": jnp.ones((d,)), "ln_post_b": jnp.zeros((d,)),
+    }
+    decoder = {
+        "tok_emb": _dense_init(k_emb, (cfg.vocab_size, d), scale=0.02),
+        "pos_emb": jnp.zeros((cfg.max_target_positions, d)),
+        "layers": _stack_layers(k_dec, cfg, cfg.decoder_layers, cross=True),
+        "ln_post_g": jnp.ones((d,)), "ln_post_b": jnp.zeros((d,)),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def num_parameters(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------- primitives
+
+
+def _layer_norm(x, g, b, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    return y * g + b
+
+
+def _dot(x, w, cdt):
+    return jnp.dot(x.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32)
+
+
+def _split_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads)
+
+
+def _attention(q, k, v, cdt, mask=None):
+    """q: [B,Lq,H,hd]; k,v: [B,Lk,H,hd]; mask broadcastable to [B,H,Lq,Lk]."""
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", (q * scale).astype(cdt), k.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(cdt), v.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    b, lq, h, hd = out.shape
+    return out.reshape(b, lq, h * hd)
+
+
+def _dropout(x, rate, rng):
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+# ------------------------------------------------------------------------- encoder
+
+
+def encoder_forward(
+    params: Params,
+    cfg: WhisperConfig,
+    features,  # [B, num_mel_bins, T]
+    train: bool = False,
+    dropout_rng=None,
+):
+    """Log-mel features -> encoder hidden states [B, T // 2, d_model]."""
+    enc = params["encoder"]
+    cdt = jnp.dtype(cfg.compute_dtype)
+
+    x = features.astype(cdt)
+    dn = ("NCH", "HIO", "NCH")
+    x = lax.conv_general_dilated(
+        x, enc["conv1_w"].astype(cdt), window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + enc["conv1_b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = lax.conv_general_dilated(
+        x.astype(cdt), enc["conv2_w"].astype(cdt), window_strides=(2,),
+        padding=[(1, 1)], dimension_numbers=dn, preferred_element_type=jnp.float32,
+    ) + enc["conv2_b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x.transpose(0, 2, 1)  # [B, S, D]
+
+    s = x.shape[1]
+    x = x + enc["pos_emb"][:s][None]
+
+    rate = cfg.dropout if train else 0.0
+    num_heads = cfg.num_heads
+
+    def layer_fn(x, scanned):
+        if rate > 0.0:
+            lp, rng = scanned
+            rng1, rng2 = jax.random.split(rng)
+        else:
+            lp = scanned
+        h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
+        q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
+        k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads)
+        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], num_heads)
+        a = _dot(_attention(q, k, v, cdt), lp["o_w"], cdt) + lp["o_b"]
+        if rate > 0.0:
+            a = _dropout(a, rate, rng1)
+        x = x + a
+        h = _layer_norm(x, lp["ln2_g"], lp["ln2_b"])
+        h = jax.nn.gelu(_dot(h, lp["fc1_w"], cdt) + lp["fc1_b"], approximate=False)
+        h = _dot(h, lp["fc2_w"], cdt) + lp["fc2_b"]
+        if rate > 0.0:
+            h = _dropout(h, rate, rng2)
+        x = x + h
+        return x, None
+
+    if rate > 0.0:
+        x, _ = lax.scan(layer_fn, x, (enc["layers"],
+                                      jax.random.split(dropout_rng, cfg.encoder_layers)))
+    else:
+        x, _ = lax.scan(layer_fn, x, enc["layers"])
+
+    return _layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
+
+
+# ------------------------------------------------------------------------- decoder
+
+
+def decoder_forward_train(
+    params: Params,
+    cfg: WhisperConfig,
+    enc_out,      # [B, S, D]
+    input_ids,    # [B, L] int32
+    train: bool = False,
+    dropout_rng=None,
+):
+    """Teacher-forced decoder -> logits [B, L, vocab] (float32)."""
+    dec = params["decoder"]
+    cdt = jnp.dtype(cfg.compute_dtype)
+    num_heads = cfg.num_heads
+    b, l = input_ids.shape
+
+    x = dec["tok_emb"][input_ids] + dec["pos_emb"][:l][None]
+
+    causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]  # [1,1,L,L]
+
+    rate = cfg.dropout if train else 0.0
+    if rate > 0.0:
+        layer_rngs = jax.random.split(dropout_rng, cfg.decoder_layers)
+
+    def layer_fn(x, scanned):
+        if rate > 0.0:
+            lp, rng = scanned
+            rng1, rng2, rng3 = jax.random.split(rng, 3)
+        else:
+            lp = scanned
+        h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
+        q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
+        k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads)
+        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], num_heads)
+        a = _dot(_attention(q, k, v, cdt, mask=causal), lp["o_w"], cdt) + lp["o_b"]
+        if rate > 0.0:
+            a = _dropout(a, rate, rng1)
+        x = x + a
+
+        h = _layer_norm(x, lp["lnx_g"], lp["lnx_b"])
+        q = _split_heads(_dot(h, lp["xq_w"], cdt) + lp["xq_b"], num_heads)
+        k = _split_heads(_dot(enc_out, lp["xk_w"], cdt), num_heads)
+        v = _split_heads(_dot(enc_out, lp["xv_w"], cdt) + lp["xv_b"], num_heads)
+        a = _dot(_attention(q, k, v, cdt), lp["xo_w"], cdt) + lp["xo_b"]
+        if rate > 0.0:
+            a = _dropout(a, rate, rng2)
+        x = x + a
+
+        h = _layer_norm(x, lp["ln2_g"], lp["ln2_b"])
+        h = jax.nn.gelu(_dot(h, lp["fc1_w"], cdt) + lp["fc1_b"], approximate=False)
+        h = _dot(h, lp["fc2_w"], cdt) + lp["fc2_b"]
+        if rate > 0.0:
+            h = _dropout(h, rate, rng3)
+        x = x + h
+        return x, None
+
+    if rate > 0.0:
+        x, _ = lax.scan(layer_fn, x, (dec["layers"], layer_rngs))
+    else:
+        x, _ = lax.scan(layer_fn, x, dec["layers"])
+
+    x = _layer_norm(x, dec["ln_post_g"], dec["ln_post_b"])
+    logits = _dot(x, dec["tok_emb"].T, cdt)
+    return logits
+
+
+def cross_entropy_loss(logits, labels, ignore_id: int = -100):
+    """Mean token cross-entropy with ``ignore_id`` masking (HF semantics:
+    mean over non-ignored target tokens; reference train.py:30-31)."""
+    mask = labels != ignore_id
+    safe_labels = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(mask, nll, 0.0))
+    count = jnp.maximum(jnp.sum(mask), 1)
+    return total / count
+
+
+# ------------------------------------------------------------------ cached decoding
+
+
+def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out):
+    """Cross-attention K/V for all decoder layers: ([Ld, B, S, H, hd], same)."""
+    dec = params["decoder"]
+    cdt = jnp.dtype(cfg.compute_dtype)
+    num_heads = cfg.num_heads
+
+    def one_layer(lp):
+        k = _split_heads(_dot(enc_out, lp["xk_w"], cdt), num_heads)
+        v = _split_heads(_dot(enc_out, lp["xv_w"], cdt) + lp["xv_b"], num_heads)
+        return k.astype(cdt), v.astype(cdt)
+
+    return jax.vmap(one_layer)(dec["layers"])
+
+
+def init_cache(cfg: WhisperConfig, batch: int, max_len: int):
+    """Pre-allocated self-attention KV cache [Ld, B, max_len, H, hd] (compute dtype)."""
+    cdt = jnp.dtype(cfg.compute_dtype)
+    shape = (cfg.decoder_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype=cdt), jnp.zeros(shape, dtype=cdt)
+
+
+def decoder_step(
+    params: Params,
+    cfg: WhisperConfig,
+    cross_k,      # [Ld, B, S, H, hd]
+    cross_v,
+    input_ids,    # [B, Lc] — chunk of new tokens (prefill: prompt; decode: 1)
+    pos0,         # scalar int32: absolute position of input_ids[:, 0]
+    cache_k,      # [Ld, B, max_len, H, hd]
+    cache_v,
+):
+    """Run the decoder over a chunk of new tokens with KV caching.
+
+    Returns (logits [B, Lc, vocab] float32, new_cache_k, new_cache_v).
+    This one function covers both prompt prefill (Lc > 1) and the autoregressive
+    inner loop (Lc == 1); the self-attention mask allows key position ``kp`` for
+    query chunk index ``qi`` iff ``kp <= pos0 + qi``.
+    """
+    dec = params["decoder"]
+    cdt = jnp.dtype(cfg.compute_dtype)
+    num_heads = cfg.num_heads
+    b, lc = input_ids.shape
+    max_len = cache_k.shape[2]
+
+    pos = pos0 + jnp.arange(lc)
+    x = dec["tok_emb"][input_ids] + jnp.take(dec["pos_emb"], pos, axis=0)[None]
+
+    key_pos = jnp.arange(max_len)[None, None, None, :]           # [1,1,1,K]
+    query_pos = (pos0 + jnp.arange(lc))[None, None, :, None]     # [1,1,Lc,1]
+    self_mask = key_pos <= query_pos
+
+    def layer_fn(x, scanned):
+        lp, xk_l, xv_l, ck_l, cv_l = scanned
+        h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
+        q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
+        k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads).astype(cdt)
+        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], num_heads).astype(cdt)
+        ck_l = lax.dynamic_update_slice(ck_l, k, (0, pos0, 0, 0))
+        cv_l = lax.dynamic_update_slice(cv_l, v, (0, pos0, 0, 0))
+        a = _attention(q, ck_l, cv_l, cdt, mask=self_mask)
+        x = x + _dot(a, lp["o_w"], cdt) + lp["o_b"]
+
+        h = _layer_norm(x, lp["lnx_g"], lp["lnx_b"])
+        q = _split_heads(_dot(h, lp["xq_w"], cdt) + lp["xq_b"], num_heads)
+        a = _attention(q, xk_l, xv_l, cdt)
+        x = x + _dot(a, lp["xo_w"], cdt) + lp["xo_b"]
+
+        h = _layer_norm(x, lp["ln2_g"], lp["ln2_b"])
+        h = jax.nn.gelu(_dot(h, lp["fc1_w"], cdt) + lp["fc1_b"], approximate=False)
+        x = x + _dot(h, lp["fc2_w"], cdt) + lp["fc2_b"]
+        return x, (ck_l, cv_l)
+
+    x, (new_ck, new_cv) = lax.scan(
+        layer_fn, x, (dec["layers"], cross_k, cross_v, cache_k, cache_v)
+    )
+    x = _layer_norm(x, dec["ln_post_g"], dec["ln_post_b"])
+    logits = _dot(x, dec["tok_emb"].T, cdt)
+    return logits, new_ck, new_cv
