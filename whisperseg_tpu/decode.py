@@ -1,0 +1,195 @@
+"""Batched autoregressive generation under jit: greedy, top-k sampling, beam search.
+
+This is the TPU-native replacement for both of the reference's inference engines —
+HF ``model.generate`` (reference model.py:604-622, 647-668) and the CTranslate2 C++
+Whisper engine (reference model.py:704-736). The whole decode loop is a single XLA
+computation (``lax.while_loop`` with early exit once every sequence has emitted
+EOT), with a pre-allocated KV cache; there is no per-token host round-trip.
+
+Covered generation knobs (matching the reference's surface):
+  * ``num_beams``  — beam search with ``length_penalty`` (reference model.py:609-618
+    and CT2 ``beam_size``/``length_penalty``, model.py:723-727)
+  * ``top_k``      — sampling when ``num_beams == 1`` (``do_sample = num_beams == 1``
+    with default ``top_k = 1`` == greedy; reference model.py:615-616)
+
+Beam search uses the standard static formulation (finished beams are frozen and
+padded; final hypothesis = argmax of score / length**length_penalty), the same
+family of algorithm CTranslate2 implements.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import tokenizer as tok
+from .models.config import WhisperConfig
+from .models.whisper import (
+    decoder_step,
+    encoder_forward,
+    init_cache,
+    precompute_cross_kv,
+)
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _sample_or_argmax(logits, top_k: int, rng):
+    """logits [B, V] -> token [B]. top_k == 1 is exact argmax."""
+    if top_k <= 1:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    vals, idxs = lax.top_k(logits, top_k)
+    choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_length", "num_beams", "top_k")
+)
+def generate(
+    params,
+    cfg: WhisperConfig,
+    features,                      # [B, num_mel_bins, total_spec_columns]
+    rng=None,
+    max_length: int = 448,
+    num_beams: int = 1,
+    top_k: int = 1,
+    length_penalty: float = 1.0,
+):
+    """Features -> generated token ids [B, max_length] (prompt included, PAD-padded).
+
+    ``max_length`` caps the total sequence length including the 3-token prompt,
+    mirroring HF ``generate(max_length=...)`` semantics (reference model.py:613).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    enc_out = encoder_forward(params, cfg, features)
+    if num_beams <= 1:
+        return _generate_greedy(params, cfg, enc_out, rng, max_length, top_k)
+    return _generate_beam(params, cfg, enc_out, max_length, num_beams, length_penalty)
+
+
+# ----------------------------------------------------------------- greedy / sample
+
+
+def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int):
+    batch = enc_out.shape[0]
+    prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None], (batch, 1))
+    prompt_len = prompt.shape[1]
+
+    xk, xv = precompute_cross_kv(params, cfg, enc_out)
+    ck, cv = init_cache(cfg, batch, max_length)
+
+    tokens = jnp.full((batch, max_length), tok.PAD_ID, dtype=jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+    logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0), ck, cv)
+    rng, sub = jax.random.split(rng)
+    next_tok = _sample_or_argmax(logits[:, -1], top_k, sub)
+    finished = next_tok == tok.EOT_ID
+    tokens = tokens.at[:, prompt_len].set(next_tok)
+
+    def cond(state):
+        tokens, pos, ck, cv, finished, rng, cur = state
+        return jnp.logical_and(pos + 1 < max_length, ~jnp.all(finished))
+
+    def body(state):
+        tokens, pos, ck, cv, finished, rng, cur = state
+        logits, ck, cv = decoder_step(
+            params, cfg, xk, xv, cur[:, None], pos, ck, cv
+        )
+        rng, sub = jax.random.split(rng)
+        nxt = _sample_or_argmax(logits[:, -1], top_k, sub)
+        nxt = jnp.where(finished, tok.PAD_ID, nxt)
+        new_finished = jnp.logical_or(finished, nxt == tok.EOT_ID)
+        tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+        return tokens, pos + 1, ck, cv, new_finished, rng, nxt
+
+    state = (tokens, jnp.int32(prompt_len), ck, cv, finished, rng, next_tok)
+    tokens, *_ = lax.while_loop(cond, body, state)
+    return tokens
+
+
+# ------------------------------------------------------------------------ beam
+
+
+def _beam_rows(beam_idx, batch: int, k: int):
+    """[B, K] within-batch beam indices -> flat row indices into a B*K-major axis."""
+    return (beam_idx + jnp.arange(batch)[:, None] * k).reshape(-1)
+
+
+def _generate_beam(params, cfg, enc_out, max_length: int, num_beams: int,
+                   length_penalty: float):
+    batch, s, d = enc_out.shape
+    k = num_beams
+
+    # Expand encoder state to B*K rows (beam-major within each batch element).
+    enc_rep = jnp.repeat(enc_out, k, axis=0)
+    xk, xv = precompute_cross_kv(params, cfg, enc_rep)
+    ck, cv = init_cache(cfg, batch * k, max_length)
+
+    prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None],
+                      (batch * k, 1))
+    prompt_len = prompt.shape[1]
+
+    tokens = jnp.full((batch * k, max_length), tok.PAD_ID, dtype=jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+    logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0), ck, cv)
+    logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    logp = logp.reshape(batch, k, -1)[:, 0]  # all beams identical at step 0: [B, V]
+
+    # Seed the beams with the top-k first tokens.
+    scores, first_tok = lax.top_k(logp, k)            # [B, K]
+    first_tok = first_tok.astype(jnp.int32)
+    tokens = tokens.at[:, prompt_len].set(first_tok.reshape(-1))
+    finished = (first_tok == tok.EOT_ID).reshape(-1)  # [B*K]
+    lengths = jnp.ones((batch * k,), dtype=jnp.int32)  # generated tokens per beam
+
+    vocab = cfg.vocab_size
+    # Finished beams may only "emit" PAD at zero cost.
+    pad_only = jnp.full((vocab,), NEG_INF).at[tok.PAD_ID].set(0.0)
+
+    def cond(state):
+        tokens, pos, ck, cv, scores, finished, lengths, cur = state
+        return jnp.logical_and(pos + 1 < max_length, ~jnp.all(finished))
+
+    def body(state):
+        tokens, pos, ck, cv, scores, finished, lengths, cur = state
+        logits, ck, cv = decoder_step(params, cfg, xk, xv, cur[:, None], pos, ck, cv)
+        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        logp = jnp.where(finished[:, None], pad_only[None, :], logp)  # [B*K, V]
+
+        total = scores.reshape(-1, 1) + logp                  # [B*K, V]
+        total = total.reshape(batch, k * vocab)
+        new_scores, flat_idx = lax.top_k(total, k)            # [B, K]
+        beam_idx = flat_idx // vocab                          # [B, K]
+        tok_idx = (flat_idx % vocab).astype(jnp.int32)        # [B, K]
+
+        rows = _beam_rows(beam_idx, batch, k)
+        tokens = jnp.take(tokens, rows, axis=0)
+        finished = jnp.take(finished, rows, axis=0)
+        lengths = jnp.take(lengths, rows, axis=0)
+        ck = jnp.take(ck, rows, axis=1)
+        cv = jnp.take(cv, rows, axis=1)
+        nxt = tok_idx.reshape(-1)
+        nxt = jnp.where(finished, tok.PAD_ID, nxt)
+        new_finished = jnp.logical_or(finished, nxt == tok.EOT_ID)
+        lengths = jnp.where(finished, lengths, lengths + 1)
+        tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+        return tokens, pos + 1, ck, cv, new_scores.reshape(-1), new_finished, \
+            lengths, nxt
+
+    state = (tokens, jnp.int32(prompt_len), ck, cv, scores.reshape(-1),
+             finished, lengths, first_tok.reshape(-1))
+    tokens, _, _, _, scores, finished, lengths, _ = lax.while_loop(cond, body, state)
+
+    # Final hypothesis: argmax of length-penalized score per batch element.
+    norm = scores / (lengths.astype(jnp.float32) ** jnp.float32(length_penalty))
+    best = jnp.argmax(norm.reshape(batch, k), axis=-1)  # [B]
+    rows = best + jnp.arange(batch) * k
+    return jnp.take(tokens, rows, axis=0)

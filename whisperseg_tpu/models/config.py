@@ -51,6 +51,25 @@ class WhisperConfig:
         assert self.d_model % self.num_heads == 0
         return self.d_model // self.num_heads
 
+    # --- hashability for use as a static jit argument ------------------------
+    # Only fields that influence traced computation participate; mutable metadata
+    # (cluster_codebook, default_segmentation_config, current_step) does not.
+    def _arch_key(self):
+        return (
+            self.d_model, self.encoder_layers, self.decoder_layers, self.num_heads,
+            self.d_ff, self.num_mel_bins, self.vocab_size,
+            self.max_source_positions, self.max_target_positions,
+            self.dropout, self.compute_dtype, self.total_spec_columns,
+        )
+
+    def __hash__(self):
+        return hash(self._arch_key())
+
+    def __eq__(self, other):
+        if not isinstance(other, WhisperConfig):
+            return NotImplemented
+        return self._arch_key() == other._arch_key()
+
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
 
