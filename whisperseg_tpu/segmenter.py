@@ -1,0 +1,321 @@
+"""The public segmentation API.
+
+``Segmenter.segment(audio, sr, ...)`` reproduces the full algorithmic pipeline of
+the reference (reference model.py:397-470) on TPU:
+
+  1. sliding-window + multi-trial slicing with per-trial shifted zero left-pad
+     (reference model.py:127-166)
+  2. batched log-mel features — ONE jitted device call per batch instead of the
+     reference's per-window CPU FFT loop
+  3. batched autoregressive generation (greedy/top-k/beam) — a single XLA while
+     loop per batch (replaces HF generate / CTranslate2)
+  4. token-level parse -> per-trial window-boundary merge -> clamp/sort/min-length
+     filter (reference model.py:191-281)
+  5. multi-trial consolidation: DBSCAN clustering or frame voting
+     (reference model.py:284-394)
+  6. 3-decimal rounding, FFT-blur correction (+/- n_fft/2/sr with midpoint
+     collapse), exact-duplicate removal (reference model.py:439-468)
+
+One Segmenter instance serves both production inference and validation-during-
+training (the reference needs three classes for this: WhisperSegmenter,
+WhisperSegmenterFast, WhisperSegmenterForEval).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import codec
+from .audio.frontend import Frontend
+from .consolidation import (
+    consolidate_by_clustering,
+    consolidate_by_voting,
+    merge_window_boundaries,
+)
+from .constants import RATIO_DECODING_TIME_STEP_TO_SPEC_TIME_STEP as RATIO
+from .constants import fft_time_delta
+from .models.config import WhisperConfig
+from .scoring import frame_score as _frame_score
+from .scoring import segment_score as _segment_score
+
+
+class Segmenter:
+    """Segmentation front-door over a (params, config) model pytree."""
+
+    def __init__(self, params, config: WhisperConfig):
+        self.params = params
+        self.config = config
+        self.total_spec_columns = config.total_spec_columns
+        self.cluster_codebook: Dict[str, int] = dict(config.cluster_codebook)
+        self.default_segmentation_config: Dict = dict(config.default_segmentation_config)
+        self.precision_bits = 3
+
+    # ------------------------------------------------------------------ plumbing
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "Segmenter":
+        from .checkpoint import load_checkpoint
+
+        params, config = load_checkpoint(model_path)
+        return cls(params, config)
+
+    @property
+    def inverse_cluster_codebook(self) -> Dict[int, str]:
+        return {v: k for k, v in self.cluster_codebook.items()}
+
+    def update_cluster_codebook(self, cluster_codebook: Dict[str, int]):
+        """(reference model.py:597-601)"""
+        self.cluster_codebook = dict(cluster_codebook)
+        self.config.cluster_codebook = dict(cluster_codebook)
+
+    # ------------------------------------------------------------------- slicing
+
+    def slice_audio_windows(
+        self, audio: np.ndarray, sr: int, spec_time_step: float, num_trials: int
+    ) -> Tuple[np.ndarray, List[Tuple[int, float, float]]]:
+        """Multi-trial sliding windows (reference model.py:127-166).
+
+        Returns (clips [N, clip_samples] float32 — zero-padded to full length,
+        meta list of (trial_id, offset_time_seconds, actual_duration_seconds)).
+        """
+        clip_duration = self.total_spec_columns * spec_time_step
+        clip_samples = int(clip_duration * sr)
+        clips, meta = [], []
+        for trial_id in range(num_trials):
+            padding_time = (
+                np.round(clip_duration * trial_id / num_trials / spec_time_step)
+                * spec_time_step
+            )
+            num_pad = int(padding_time * sr)
+            padded = np.concatenate(
+                [np.zeros(num_pad, dtype=np.float32), np.asarray(audio, np.float32)]
+            )
+            # The loop must run at least once even for empty audio
+            # (reference model.py:145-146).
+            for pos in range(0, max(len(padded), 1), clip_samples):
+                clip = padded[pos:pos + clip_samples]
+                full = np.zeros(clip_samples, dtype=np.float32)
+                full[: len(clip)] = clip
+                clips.append(full)
+                meta.append((trial_id, pos / sr - padding_time, len(clip) / sr))
+        return np.stack(clips), meta
+
+    # ---------------------------------------------------------------- generation
+
+    def _generate_tokens(
+        self,
+        features: np.ndarray,  # [N, 80, total_spec_columns]
+        batch_size: int,
+        max_length: int,
+        num_beams: int,
+        top_k: int,
+        length_penalty: float,
+        seed: int,
+        status_monitor: Optional[dict],
+    ) -> List[List[int]]:
+        """Run the jitted generator over fixed-size batches (last batch padded so
+        every call reuses one compiled executable)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .decode import generate
+
+        n = features.shape[0]
+        out: List[List[int]] = []
+        rng = jax.random.PRNGKey(seed)
+        for pos in range(0, n, batch_size):
+            chunk = features[pos:pos + batch_size]
+            real = chunk.shape[0]
+            if real < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - real,) + chunk.shape[1:],
+                                     chunk.dtype)]
+                )
+            rng, sub = jax.random.split(rng)
+            tokens = generate(
+                self.params,
+                self.config,
+                jnp.asarray(chunk),
+                rng=sub,
+                max_length=max_length,
+                num_beams=num_beams,
+                top_k=top_k,
+                length_penalty=length_penalty,
+            )
+            out += np.asarray(tokens)[:real].tolist()
+            if status_monitor is not None:
+                status_monitor["progress"] = int(
+                    np.round(min(pos + batch_size, n) / n * 100)
+                )
+        return out
+
+    # ------------------------------------------------------------------- parsing
+
+    def _parse_generation(
+        self,
+        token_lists: List[List[int]],
+        meta: List[Tuple[int, float, float]],
+        min_segment_length: float,
+        audio_duration: float,
+        spec_time_step: float,
+        num_trials: int,
+        eps: float,
+        time_per_frame_for_voting: float,
+        consolidation_method: str,
+    ) -> Dict[str, list]:
+        """(reference model.py:210-281)"""
+        inverse = self.inverse_cluster_codebook
+        per_trial_windows: Dict[int, List[List[List]]] = {}
+        for tokens, (trial_id, offset_time, _dur) in zip(token_lists, meta):
+            segs = codec.parse_segments_from_ids(tokens, spec_time_step, inverse)
+            for s in segs:
+                s[0] += offset_time
+                s[1] += offset_time
+            per_trial_windows.setdefault(trial_id, []).append(segs)
+
+        trials_results = []
+        for trial_id in per_trial_windows:
+            merged = merge_window_boundaries(per_trial_windows[trial_id])
+            for s in merged:
+                s[0] = max(0.0, s[0])
+                s[1] = min(s[1], audio_duration)
+            merged.sort(key=lambda s: s[0])
+            merged = [s for s in merged if s[1] - s[0] >= min_segment_length]
+            trials_results.append(
+                {
+                    "onset": [s[0] for s in merged],
+                    "offset": [s[1] for s in merged],
+                    "cluster": [s[2] for s in merged],
+                }
+            )
+
+        if num_trials == 1:
+            final = trials_results[0]
+        elif consolidation_method == "clustering":
+            min_samples = max(2, int(np.ceil(num_trials * 0.5)))
+            final = consolidate_by_clustering(trials_results, eps, min_samples)
+        else:
+            final = consolidate_by_voting(
+                trials_results, time_per_frame_for_voting, self.cluster_codebook
+            )
+
+        final["onset"] = [float(np.round(t, self.precision_bits)) for t in final["onset"]]
+        final["offset"] = [float(np.round(t, self.precision_bits)) for t in final["offset"]]
+        return final
+
+    # ---------------------------------------------------------------- public API
+
+    def segment(
+        self,
+        audio: np.ndarray,
+        sr: int,
+        min_frequency: Optional[float] = None,
+        spec_time_step: Optional[float] = None,
+        min_segment_length: Optional[float] = None,
+        eps: Optional[float] = None,
+        time_per_frame_for_voting: Optional[float] = None,
+        consolidation_method: str = "clustering",
+        max_length: int = 448,
+        batch_size: int = 4,
+        num_trials: int = 1,
+        num_beams: int = 4,
+        top_k: int = 1,
+        top_p: float = 1.0,
+        length_penalty: float = 1.0,
+        status_monitor: Optional[dict] = None,
+        seed: int = 0,
+    ) -> Dict[str, list]:
+        """Segment one audio array -> {"onset": [...], "offset": [...], "cluster": [...]}.
+
+        Default resolution follows reference model.py:398-425: explicit arg >
+        model's default_segmentation_config > literal fallback.
+        """
+        if top_p != 1.0:
+            import warnings
+
+            warnings.warn("top_p sampling is not supported; ignoring top_p != 1.0")
+        if min_frequency is None:
+            min_frequency = self.default_segmentation_config.get("min_frequency", 0)
+        if spec_time_step is None:
+            spec_time_step = self.default_segmentation_config.get("spec_time_step", 0.0025)
+        if min_segment_length is None:
+            min_segment_length = spec_time_step * RATIO
+        if eps is None:
+            eps = spec_time_step * RATIO * 4
+        if time_per_frame_for_voting is None:
+            time_per_frame_for_voting = spec_time_step
+
+        audio = np.asarray(audio, dtype=np.float32)
+        clips, meta = self.slice_audio_windows(audio, sr, spec_time_step, num_trials)
+
+        frontend = Frontend(sr, spec_time_step, min_frequency)
+        # Device-side feature extraction in the same fixed batches as generation.
+        feats_list = []
+        for pos in range(0, clips.shape[0], batch_size):
+            chunk = clips[pos:pos + batch_size]
+            real = chunk.shape[0]
+            if real < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - real,) + chunk.shape[1:], chunk.dtype)]
+                )
+            f = np.asarray(
+                frontend.features_for_clips(chunk, self.total_spec_columns)
+            )[:real]
+            feats_list.append(f)
+        features = np.concatenate(feats_list, axis=0)
+
+        token_lists = self._generate_tokens(
+            features, batch_size, max_length, num_beams, top_k, length_penalty,
+            seed, status_monitor,
+        )
+
+        final = self._parse_generation(
+            token_lists, meta, min_segment_length, len(audio) / sr,
+            spec_time_step, num_trials, eps, time_per_frame_for_voting,
+            consolidation_method,
+        )
+
+        # FFT-blur correction with midpoint collapse (reference model.py:439-455).
+        time_delta = fft_time_delta(sr)
+        onsets, offsets = [], []
+        for onset, offset in zip(final["onset"], final["offset"]):
+            c_on, c_off = onset + time_delta, offset - time_delta
+            if c_on > c_off:
+                c_on = c_off = (onset + offset) / 2
+            onsets.append(c_on)
+            offsets.append(c_off)
+        final["onset"], final["offset"] = onsets, offsets
+
+        # Exact-duplicate removal after sorting (reference model.py:457-468).
+        if final["onset"]:
+            clean: List[Tuple[float, float, str]] = []
+            for onset, offset, cluster in sorted(
+                zip(final["onset"], final["offset"], final["cluster"]),
+                key=lambda x: x[0],
+            ):
+                if not clean or (onset, offset, cluster) != clean[-1]:
+                    clean.append((onset, offset, cluster))
+            final["onset"] = [c[0] for c in clean]
+            final["offset"] = [c[1] for c in clean]
+            final["cluster"] = [c[2] for c in clean]
+        return final
+
+    # ------------------------------------------------------------------- scoring
+
+    def segment_score(self, prediction, label, target_cluster=None, tolerance=None):
+        """(reference model.py:493-516)"""
+        if tolerance is None:
+            tolerance = self.default_segmentation_config.get("spec_time_step", 0.0025) * 4
+        return _segment_score(prediction, label, target_cluster, tolerance)
+
+    def frame_score(self, prediction, label, target_cluster=None,
+                    time_per_frame_for_scoring=None):
+        """(reference model.py:518-569)"""
+        if time_per_frame_for_scoring is None:
+            time_per_frame_for_scoring = min(
+                0.001, self.default_segmentation_config.get("spec_time_step", 0.0025)
+            )
+        return _frame_score(prediction, label, target_cluster,
+                            time_per_frame_for_scoring)
