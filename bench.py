@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: audio-seconds segmented per wall-clock second per chip,
+whisper-large VAD configuration (the BASELINE.json metric).
+
+Setup mirrors the reference's production path on its own terms: zebra-finch-style
+configuration (sr=32 kHz, spec_time_step=2.5 ms -> 2.5 s windows of 1000
+spectrogram columns), whisper-large geometry, greedy decoding with a realistic
+per-window transcript budget (~6 segments -> 32 tokens, calibrated from the
+reference's zebra-finch golden prediction of 17 segments / 7.2 s audio,
+README.md:324).
+
+Baseline: the CTranslate2-GPU whisper-large path. Derivation (BENCH.md): the
+reference records 5.1 files/s eval throughput for whisper-BASE-ct2 on ~3.9 s
+bengalese-finch files (~20 audio-s/s incl. scoring); whisper-large is ~5-6x the
+compute -> ~4 audio-s/s. baseline_rtf = 4.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RTF = 4.0  # audio-seconds/sec, CT2 whisper-large on GPU (see BENCH.md)
+
+MODEL_SIZE = os.environ.get("BENCH_MODEL", "large")
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+MAX_LENGTH = int(os.environ.get("BENCH_MAX_LENGTH", "32"))
+AUDIO_SECONDS = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
+SR = 32000
+SPEC_TIME_STEP = 0.0025
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisperseg_tpu.audio.frontend import Frontend
+    from whisperseg_tpu.decode import generate
+    from whisperseg_tpu.models import init_params, make_config
+
+    cfg = make_config(MODEL_SIZE, total_spec_columns=1000)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    clip_duration = 1000 * SPEC_TIME_STEP  # 2.5 s per window
+    clip_samples = int(clip_duration * SR)
+    num_windows = int(np.ceil(AUDIO_SECONDS / clip_duration))
+    # pad to full batches
+    num_windows = -(-num_windows // BATCH) * BATCH
+    audio_seconds = num_windows * clip_duration
+
+    rng = np.random.RandomState(0)
+    frontend = Frontend(SR, SPEC_TIME_STEP, 0)
+
+    def one_pass():
+        t0 = time.perf_counter()
+        total_tokens = 0
+        for b in range(num_windows // BATCH):
+            clips = rng.randn(BATCH, clip_samples).astype(np.float32) * 0.1
+            feats = frontend.features_for_clips(clips, 1000)
+            tokens = generate(params, cfg, feats, max_length=MAX_LENGTH,
+                              num_beams=1, top_k=1)
+            tokens.block_until_ready()
+            total_tokens += int(np.prod(tokens.shape))
+        return time.perf_counter() - t0, total_tokens
+
+    one_pass()  # warmup / compile
+    times = []
+    for _ in range(3):
+        dt, _ = one_pass()
+        times.append(dt)
+    best = min(times)
+    rtf = audio_seconds / best
+
+    print(json.dumps({
+        "metric": "audio_seconds_segmented_per_second_per_chip",
+        "value": round(rtf, 2),
+        "unit": "audio-s/s",
+        "vs_baseline": round(rtf / BASELINE_RTF, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

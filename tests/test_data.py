@@ -1,0 +1,235 @@
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from whisperseg_tpu import tokenizer as tok
+from whisperseg_tpu.data import (
+    DataLoader,
+    VocalSegDataset,
+    determine_default_config,
+    get_audio_and_label_paths,
+    get_cluster_codebook,
+    load_data,
+    read_label,
+    slice_audio_and_label,
+    split_audio_and_label,
+    train_val_split,
+)
+
+
+def write_wav(path, y, sr):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(y, -1, 1) * 32767).astype("<i2").tobytes())
+
+
+def make_dataset_dir(tmp_path, n_files=2, sr=16000, dur=2.0):
+    for i in range(n_files):
+        t = np.arange(int(sr * dur)) / sr
+        y = 0.01 * np.random.RandomState(i).randn(len(t))
+        onsets, offsets = [0.3, 1.0], [0.5, 1.4]
+        for a, b in zip(onsets, offsets):
+            seg = slice(int(a * sr), int(b * sr))
+            y[seg] += 0.8 * np.sin(2 * np.pi * 2000 * t[seg])
+        write_wav(tmp_path / f"f{i}.wav", y, sr)
+        json.dump(
+            {"onset": onsets, "offset": offsets, "cluster": ["a", "b"],
+             "sr": sr, "spec_time_step": 0.01, "min_frequency": 0},
+            open(tmp_path / f"f{i}.json", "w"),
+        )
+    return str(tmp_path)
+
+
+def test_read_label_json(tmp_path):
+    p = tmp_path / "l.json"
+    json.dump({"onset": [0.1], "offset": [0.2]}, open(p, "w"))
+    label = read_label(str(p), default_config={"sr": 16000})
+    assert label["cluster"] == ["Vocal"]
+    assert label["sr"] == 16000
+    assert label["species"] == "unknown"
+
+
+def test_read_label_csv(tmp_path):
+    p = tmp_path / "l.csv"
+    p.write_text("onset,offset,cluster\n0.1,0.2,5\n0.3,0.4,7\n")
+    label = read_label(str(p))
+    assert label["cluster"] == ["5", "7"]  # clusters stringified
+
+
+def test_read_label_ignore_cluster(tmp_path):
+    p = tmp_path / "l.json"
+    json.dump({"onset": [0.1], "offset": [0.2], "cluster": ["x"]}, open(p, "w"))
+    assert read_label(str(p), ignore_cluster=True)["cluster"] == ["Vocal"]
+
+
+def test_path_pairing(tmp_path):
+    write_wav(tmp_path / "a.wav", np.zeros(100), 16000)
+    json.dump({"onset": [], "offset": []}, open(tmp_path / "a.json", "w"))
+    write_wav(tmp_path / "b.wav", np.zeros(100), 16000)
+    (tmp_path / "b.csv").write_text("onset,offset\n")
+    write_wav(tmp_path / "c.wav", np.zeros(100), 16000)  # no label -> skipped
+    audio, labels = get_audio_and_label_paths(str(tmp_path))
+    stems = sorted(os.path.basename(p) for p in labels)
+    assert stems == ["a.json", "b.csv"]
+
+
+def test_determine_default_config(tmp_path):
+    make_dataset_dir(tmp_path)
+    audio, labels = get_audio_and_label_paths(str(tmp_path))
+    cfg = determine_default_config(audio, labels, total_spec_columns=1000)
+    assert cfg["sr"] == 16000
+    assert cfg["min_frequency"] == 0
+    # median segment dur (with blur widening 2*0.016) = 0.332 ->
+    # ceil(0.332*25/0.5)*0.5/1000 = 8.5/1000
+    assert cfg["spec_time_step"] == pytest.approx(0.0085)
+
+
+def test_cluster_codebook(tmp_path):
+    make_dataset_dir(tmp_path)
+    _, labels = get_audio_and_label_paths(str(tmp_path))
+    cb = get_cluster_codebook(labels, {"pre": 0})
+    assert cb == {"pre": 0, "a": 1, "b": 2}
+
+
+def test_load_data_corrections(tmp_path):
+    make_dataset_dir(tmp_path, n_files=3)
+    audio_paths, label_paths = get_audio_and_label_paths(str(tmp_path))
+    cb = get_cluster_codebook(label_paths, {})
+    audio_list, label_list = load_data(audio_paths, label_paths, cb, n_threads=2,
+                                       default_config={"sr": 16000,
+                                                       "spec_time_step": 0.01,
+                                                       "min_frequency": 0})
+    assert len(audio_list) == 3
+    lab = label_list[0]
+    td = 512 / 2 / 16000
+    np.testing.assert_allclose(lab["onset"], [0.3 - td, 1.0 - td])
+    np.testing.assert_allclose(lab["offset"], [0.5 + td, 1.4 + td])
+    assert lab["cluster_id"].tolist() == [cb["a"], cb["b"]]
+
+
+def _label(sr=16000, onsets=(0.3, 1.0), offsets=(0.5, 1.4)):
+    return {
+        "sr": sr, "spec_time_step": 0.01, "min_frequency": 0,
+        "species": "unknown",
+        "onset": np.asarray(onsets), "offset": np.asarray(offsets),
+        "cluster": ["a", "b"][: len(onsets)],
+        "cluster_id": np.asarray([0, 1][: len(onsets)]),
+    }
+
+
+def test_split_audio_and_label():
+    audio = np.zeros(32000, np.float32)
+    label = _label()
+    (a1, l1), (a2, l2) = split_audio_and_label(audio, label, 0.5)
+    assert len(a1) == 16000 and len(a2) == 16000
+    # segment [0.3,0.5] entirely in part1; [1.0,1.4] in part2 shifted by 1.0
+    np.testing.assert_allclose(l1["onset"], [0.3])
+    np.testing.assert_allclose(l1["offset"], [0.5])
+    np.testing.assert_allclose(l2["onset"], [0.0])
+    np.testing.assert_allclose(l2["offset"], [0.4])
+
+
+def test_split_boundary_crossing_clipped():
+    audio = np.zeros(32000, np.float32)
+    label = _label(onsets=(0.8,), offsets=(1.2,))
+    (a1, l1), (a2, l2) = split_audio_and_label(audio, label, 0.5)
+    np.testing.assert_allclose(l1["onset"], [0.8])
+    np.testing.assert_allclose(l1["offset"], [1.0])
+    np.testing.assert_allclose(l2["onset"], [0.0])
+    np.testing.assert_allclose(l2["offset"], [0.2])
+
+
+def test_split_short_part_dropped():
+    audio = np.zeros(16000, np.float32)
+    label = _label(onsets=(0.1,), offsets=(0.2,))
+    (a1, l1), (a2, l2) = split_audio_and_label(audio, label, 0.99)
+    assert a2 is None and l2 is None
+    assert a1 is not None
+
+
+def test_train_val_split_seeded():
+    np.random.seed(0)
+    audios = [np.zeros(32000, np.float32) for _ in range(4)]
+    labels = [_label() for _ in range(4)]
+    (ta, tl), (va, vl) = train_val_split(audios, labels, 0.25)
+    assert len(ta) + len(va) >= 4  # all files produce at least one part
+    for l in tl + vl:
+        assert (l["offset"] >= l["onset"]).all()
+
+
+def test_slice_audio_and_label_geometry():
+    # clip_duration = 100 * 0.01 = 1 s; audio 2.5 s
+    audio = np.ones(40000, np.float32)
+    label = _label()
+    clips, lclips = slice_audio_and_label(audio, label, total_spec_columns=100)
+    # padded audio = 1s zero + 2.5s = 3.5s -> windows at 0,1,2,3 s each 2 s
+    assert len(clips) == 4
+    assert len(clips[0]) == 32000
+    # first clip: [0,2) of padded = 1 s zeros + first second; segment 0.3->1.3
+    np.testing.assert_allclose(lclips[0]["onset"], [1.3])
+    np.testing.assert_allclose(lclips[0]["offset"], [1.5])
+    # last clip starts at 3 s, holds 0.5 s audio
+    assert len(clips[-1]) == 8000
+
+
+def test_dataset_item_and_collate():
+    np.random.seed(0)
+    audio = np.concatenate([np.zeros(4000), np.ones(8000) * 0.5, np.zeros(4000)])
+    label = _label(onsets=(0.25,), offsets=(0.75,))
+    ds = VocalSegDataset([audio.astype(np.float32)], [label], max_length=20,
+                         total_spec_columns=100)
+    item = ds[0]
+    assert item["audio_clip"].shape == (16000,)
+    assert item["decoder_input_ids"].shape == (20,)
+    assert item["labels"].shape == (20,)
+    assert item["decoder_input_ids"][0] == tok.SOT_ID
+    batch = ds.collate([item, ds[0]])
+    assert batch["input_features"].shape == (2, 80, 100)
+    assert batch["decoder_input_ids"].shape == (2, 20)
+    assert np.isfinite(batch["input_features"]).all()
+
+
+def test_dataset_label_tokens_follow_crop():
+    from whisperseg_tpu import codec
+
+    sr = 16000
+    audio = np.zeros(16000, np.float32)
+    label = _label(onsets=(0.2,), offsets=(0.4,))
+    ds = VocalSegDataset([audio], [label], max_length=20, total_spec_columns=100)
+    np.random.seed(1)
+    item = ds[0]
+    # replicate the seeded random crop (reference datautils.py:341)
+    np.random.seed(1)
+    clip_start = int(np.random.choice(min(16000 + 1, 16000 - 512 + 1)))
+    start = clip_start / sr
+    end = start + (16000 - clip_start) / sr
+    ids = item["decoder_input_ids"].tolist()
+    if 0.2 < end and 0.4 > start:  # segment visible in the crop
+        on = max(0.2, start) - start
+        off = min(0.4, end) - start
+        assert ids[4] == tok.timestamp_id(codec.time_to_col(on, 0.01, 100))
+        assert ids[5] == 0
+        assert ids[6] == tok.timestamp_id(codec.time_to_col(off, 0.01, 100))
+    else:
+        # transcript is just species + EOT; EOT lands in the shifted labels
+        assert item["labels"][3] == tok.EOT_ID
+        assert ids[4] == tok.PAD_ID
+
+
+def test_dataloader_batching():
+    np.random.seed(0)
+    audios = [np.zeros(16000, np.float32) for _ in range(5)]
+    labels = [_label() for _ in range(5)]
+    ds = VocalSegDataset(audios, labels, max_length=10, total_spec_columns=100)
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    loader2 = DataLoader(ds, batch_size=2, drop_last=False)
+    assert len(loader2) == 3
+    assert list(loader2)[-1]["input_features"].shape[0] == 1

@@ -1,0 +1,88 @@
+"""Segmentation CLI (flag/CSV-compatible with reference scripts/segment.py).
+
+Supports a single --audio_path (``-`` = WAV bytes on stdin), or an --audio_folder
+(*.wav + *.WAV, prepending a ``filename`` column), writing CSV to a path or to
+stdout with ``--csv_save_path buffer``. The reference's --device/--device_ids GPU
+flags are accepted for compatibility; device placement on TPU is automatic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+from glob import glob
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model_path")
+    parser.add_argument("--audio_path", default=None,
+                        help="Path to a .wav file, or '-' for wav bytes on stdin")
+    parser.add_argument("--audio_folder", default=None,
+                        help="Folder of .wav files (used when audio_path is None)")
+    parser.add_argument("--csv_save_path",
+                        help="Output .csv path, or 'buffer' for stdout")
+    parser.add_argument("--device", default="tpu", help="accepted for compat")
+    parser.add_argument("--device_ids", type=int, nargs="+", default=[0],
+                        help="accepted for compat")
+    parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--min_frequency", default=None, type=int)
+    parser.add_argument("--spec_time_step", default=None, type=float)
+    parser.add_argument("--num_trials", default=1, type=int)
+    parser.add_argument("--num_beams", default=4, type=int)
+    return parser
+
+
+def main(argv=None):
+    import pandas as pd
+    from tqdm import tqdm
+
+    from ..audio.io import load_audio
+    from ..segmenter import Segmenter
+
+    args = build_parser().parse_args(argv)
+    assert args.csv_save_path.endswith(".csv") or args.csv_save_path == "buffer", \
+        "csv_save_path must end with .csv or be 'buffer'"
+
+    segmenter = Segmenter.from_pretrained(args.model_path)
+
+    def run(audio, sr):
+        return segmenter.segment(
+            audio, sr, min_frequency=args.min_frequency,
+            spec_time_step=args.spec_time_step, num_trials=args.num_trials,
+            batch_size=args.batch_size, num_beams=args.num_beams,
+        )
+
+    if args.audio_path is None:
+        assert args.audio_folder is not None, \
+            "Either audio_path or audio_folder needs to be specified!"
+        paths = sorted(glob(os.path.join(args.audio_folder, "*.wav"))
+                       + glob(os.path.join(args.audio_folder, "*.WAV")))
+        overall = {"filename": [], "onset": [], "offset": [], "cluster": []}
+        for path in tqdm(paths):
+            audio, sr = load_audio(path)
+            res = run(audio, sr)
+            overall["filename"] += [os.path.basename(path)] * len(res["onset"])
+            overall["onset"] += res["onset"]
+            overall["offset"] += res["offset"]
+            overall["cluster"] += res["cluster"]
+        df = pd.DataFrame(overall)
+    else:
+        if args.audio_path == "-":
+            audio, sr = load_audio(sys.stdin.buffer.read())
+        else:
+            audio, sr = load_audio(args.audio_path)
+        df = pd.DataFrame(run(audio, sr))
+
+    if args.csv_save_path == "buffer":
+        buf = io.StringIO()
+        df.to_csv(buf, index=False)
+        print(buf.getvalue())
+    else:
+        df.to_csv(args.csv_save_path, index=False)
+
+
+if __name__ == "__main__":
+    main()

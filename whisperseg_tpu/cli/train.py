@@ -1,0 +1,93 @@
+"""Training CLI (flag-compatible with reference train.py:51-88)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..training import TrainArgs, run_training
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--initial_model_path", required=True,
+                   help="checkpoint dir, HF dir, or a size name tiny/base/"
+                        "small/medium/large")
+    p.add_argument("--model_folder", required=True)
+    p.add_argument("--train_dataset_folder", required=True)
+    p.add_argument("--n_device", type=int, default=None)
+    p.add_argument("--gpu_list", type=int, nargs="+", default=None,
+                   help="accepted for compat; device selection is automatic")
+    p.add_argument("--use_wandb", type=int, default=0)
+    p.add_argument("--project", default="whisperseg-tpu")
+    p.add_argument("--run_name", default=None)
+    p.add_argument("--print_every", type=int, default=100)
+    p.add_argument("--validate_every", type=int, default=None)
+    p.add_argument("--validate_per_epoch", type=int, default=0)
+    p.add_argument("--save_every", type=int, default=None)
+    p.add_argument("--save_per_epoch", type=int, default=0)
+    p.add_argument("--max_num_epochs", type=int, default=3)
+    p.add_argument("--max_num_iterations", type=int, default=None)
+    p.add_argument("--min_num_iterations", type=int, default=500)
+    p.add_argument("--val_ratio", type=float, default=0.0)
+    p.add_argument("--max_length", type=int, default=100)
+    p.add_argument("--total_spec_columns", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=3e-6)
+    p.add_argument("--lr_schedule", default="linear")
+    p.add_argument("--max_to_keep", type=int, default=-1)
+    p.add_argument("--seed", type=int, default=66100)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--freeze_encoder", type=int, default=0)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--clear_cluster_codebook", type=int, default=1)
+    p.add_argument("--ignore_cluster", type=int, default=0)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width over the device mesh")
+    p.add_argument("--fsdp", type=int, default=0,
+                   help="shard parameters over the data axis")
+    return p
+
+
+def main(argv=None):
+    a = build_parser().parse_args(argv)
+    args = TrainArgs(
+        initial_model_path=a.initial_model_path,
+        model_folder=a.model_folder,
+        train_dataset_folder=a.train_dataset_folder,
+        n_device=a.n_device,
+        print_every=a.print_every,
+        validate_every=a.validate_every,
+        validate_per_epoch=bool(a.validate_per_epoch),
+        save_every=a.save_every,
+        save_per_epoch=bool(a.save_per_epoch),
+        max_num_epochs=a.max_num_epochs,
+        max_num_iterations=a.max_num_iterations,
+        min_num_iterations=a.min_num_iterations,
+        val_ratio=a.val_ratio,
+        max_length=a.max_length,
+        total_spec_columns=a.total_spec_columns,
+        batch_size=a.batch_size,
+        learning_rate=a.learning_rate,
+        lr_schedule=a.lr_schedule,
+        max_to_keep=a.max_to_keep,
+        seed=a.seed,
+        weight_decay=a.weight_decay,
+        warmup_steps=a.warmup_steps,
+        freeze_encoder=bool(a.freeze_encoder),
+        dropout=a.dropout,
+        num_workers=a.num_workers,
+        clear_cluster_codebook=bool(a.clear_cluster_codebook),
+        ignore_cluster=bool(a.ignore_cluster),
+        tp=a.tp,
+        fsdp=bool(a.fsdp),
+        project=a.project,
+        run_name=a.run_name,
+        use_wandb=bool(a.use_wandb),
+    )
+    run_training(args)
+
+
+if __name__ == "__main__":
+    main()

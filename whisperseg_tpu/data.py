@@ -1,0 +1,389 @@
+"""Data layer: dataset discovery, label parsing, config inference, slicing, batching.
+
+Behavioral port of the reference's data pipeline (reference datautils.py), with one
+architectural change: per-item CPU feature extraction (the reference's training
+bottleneck, mitigated there with torch DataLoader workers) is replaced by *batched
+on-device* log-mel extraction — the loader assembles raw audio clips and the
+features for a whole batch are computed in one jitted call per frontend
+configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from copy import deepcopy
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import codec
+from .audio.frontend import Frontend
+from .audio.io import get_audio_duration, get_sampling_rate, load_audio
+from .constants import fft_time_delta
+
+
+# ----------------------------------------------------------------------- labels
+
+
+def read_label(label_path: str, default_config: Optional[dict] = None,
+               ignore_cluster: bool = False) -> dict:
+    """Load a .json/.csv annotation (reference datautils.py:19-42)."""
+    default_config = default_config or {}
+    if label_path.endswith(".json"):
+        with open(label_path) as f:
+            label = json.load(f)
+    elif label_path.endswith(".csv"):
+        import pandas as pd
+
+        df = pd.read_csv(label_path)
+        label = {k: df[k].tolist() for k in df.columns}
+    else:
+        raise ValueError(f"Unsupported label format: {label_path}")
+    assert "onset" in label and "offset" in label
+    if "cluster" not in label:
+        label["cluster"] = ["Vocal"] * len(label["onset"])
+    label["cluster"] = list(map(str, label["cluster"]))
+    for k, v in default_config.items():
+        if k not in label:
+            label[k] = v
+    # species is not actually used downstream (reference datautils.py:36-37)
+    label["species"] = "unknown"
+    if ignore_cluster:
+        label["cluster"] = ["Vocal"] * len(label["cluster"])
+    return label
+
+
+def get_audio_and_label_paths(folder: str) -> Tuple[List[str], List[str]]:
+    """Pair *.wav files with sibling .json (preferred) or .csv labels
+    (reference datautils.py:44-56)."""
+    audio_paths, label_paths = [], []
+    for fname in os.listdir(folder):
+        if not fname.endswith(".wav"):
+            continue
+        wav = os.path.join(folder, fname)
+        stem = wav[:-4]
+        if os.path.exists(stem + ".json"):
+            audio_paths.append(wav)
+            label_paths.append(stem + ".json")
+        elif os.path.exists(stem + ".csv"):
+            audio_paths.append(wav)
+            label_paths.append(stem + ".csv")
+    return audio_paths, label_paths
+
+
+def determine_default_config(audio_paths: Sequence[str], label_paths: Sequence[str],
+                             total_spec_columns: int,
+                             ignore_cluster: bool = False) -> dict:
+    """Auto-derive (sr, spec_time_step, ...) from the dataset
+    (reference datautils.py:58-93)."""
+    sr_list = [get_sampling_rate(p) for p in audio_paths]
+    assert len(sr_list) > 0, "No valid audios were provided."
+    sr = int(np.median(sr_list))
+    time_delta = fft_time_delta(sr)
+
+    onsets, offsets = [], []
+    for audio_path, label_path in zip(audio_paths, label_paths):
+        label = read_label(label_path, ignore_cluster=ignore_cluster)
+        dur = get_audio_duration(audio_path)
+        onsets += [max(0, t - time_delta) for t in label["onset"]]
+        offsets += [min(dur, t + time_delta) for t in label["offset"]]
+    assert len(onsets) > 0, "No vocal segment is annotated in the label files."
+    seg_dur_median = float(np.median(np.asarray(offsets) - np.asarray(onsets)))
+    # target ~25 median-segment-durations per window, rounded up to 0.5 s
+    # (reference datautils.py:82-84)
+    spec_time_step = float(
+        np.ceil(seg_dur_median * 25 / 0.5) * 0.5 / total_spec_columns
+    )
+    return {
+        "species": "unknown",
+        "sr": sr,
+        "min_frequency": 0,
+        "spec_time_step": spec_time_step,
+    }
+
+
+def get_cluster_codebook(label_paths: Sequence[str], initial_cluster_codebook: dict,
+                         ignore_cluster: bool = False) -> dict:
+    """Sorted unique cluster names -> ids, extending an initial codebook
+    (reference datautils.py:95-108)."""
+    codebook = deepcopy(initial_cluster_codebook)
+    unique = set()
+    for path in label_paths:
+        unique.update(read_label(path, ignore_cluster=ignore_cluster)["cluster"])
+    for cluster in sorted(unique):
+        if cluster not in codebook:
+            codebook[cluster] = len(codebook)
+    return codebook
+
+
+# ---------------------------------------------------------------------- loading
+
+
+def _load_one(audio_path: str, label_path: str, cluster_codebook: dict,
+              default_config: dict, ignore_cluster: bool):
+    label = read_label(label_path, default_config, ignore_cluster=ignore_cluster)
+    y, _ = load_audio(audio_path, sr=label["sr"])
+    sr = label["sr"]
+    time_delta = fft_time_delta(sr)
+    dur = len(y) / sr
+
+    onset = np.asarray([max(0, t - time_delta) for t in label["onset"]])
+    offset = np.asarray([min(dur, t + time_delta) for t in label["offset"]])
+    valid = np.logical_and(np.logical_and(onset < dur, offset > 0), onset <= offset)
+    onset, offset = onset[valid], offset[valid]
+    label["cluster"] = [c for c, v in zip(label["cluster"], valid) if v]
+    label.update({
+        "onset": onset,
+        "offset": offset,
+        "cluster_id": np.asarray([cluster_codebook[c] for c in label["cluster"]],
+                                 dtype=np.int64),
+    })
+    return y, label
+
+
+def load_data(audio_paths: Sequence[str], label_paths: Sequence[str],
+              cluster_codebook: dict, n_threads: int = 8,
+              default_config: Optional[dict] = None,
+              ignore_cluster: bool = False):
+    """Threaded corpus load with FFT-blur label correction
+    (reference datautils.py:110-186)."""
+    default_config = default_config or {}
+    n = len(audio_paths)
+    results: List = [None] * n
+    lock = threading.Lock()
+    next_idx = [0]
+
+    def worker():
+        while True:
+            with lock:
+                if next_idx[0] >= n:
+                    return
+                i = next_idx[0]
+                next_idx[0] += 1
+            results[i] = _load_one(audio_paths[i], label_paths[i], cluster_codebook,
+                                   default_config, ignore_cluster)
+
+    threads = [threading.Thread(target=worker) for _ in range(min(n_threads, max(n, 1)))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    audio_list = [r[0] for r in results]
+    label_list = [r[1] for r in results]
+    return audio_list, label_list
+
+
+# ---------------------------------------------------------------------- splits
+
+
+def split_audio_and_label(audio, label, split_ratio: float):
+    """Head/tail split of one file with boundary clipping; parts < 0.1 s dropped
+    (reference datautils.py:188-225)."""
+    sr = label["sr"]
+    split_point = int(len(audio) * split_ratio)
+    split_time = split_point / sr
+
+    def part(seg_audio, onset, offset, cluster_id, cluster):
+        if len(seg_audio) / sr < 0.1:
+            return None, None
+        p = deepcopy(label)
+        p.update({"onset": onset, "offset": offset, "cluster_id": cluster_id,
+                  "cluster": cluster})
+        return seg_audio, p
+
+    idx1 = label["onset"] < split_time
+    part1 = part(
+        audio[:split_point],
+        label["onset"][idx1],
+        np.minimum(label["offset"][idx1], split_time),
+        label["cluster_id"][idx1],
+        [label["cluster"][i] for i in np.nonzero(idx1)[0]],
+    )
+    idx2 = label["offset"] > split_time
+    part2 = part(
+        audio[split_point:],
+        np.maximum(label["onset"][idx2], split_time) - split_time,
+        label["offset"][idx2] - split_time,
+        label["cluster_id"][idx2],
+        [label["cluster"][i] for i in np.nonzero(idx2)[0]],
+    )
+    return part1, part2
+
+
+def train_val_split(audio_list, label_list, val_ratio: float):
+    """Per-file random head/tail split (reference datautils.py:227-249)."""
+    train_a, train_l, val_a, val_l = [], [], [], []
+    for audio, label in zip(audio_list, label_list):
+        if np.random.choice([0, 1]) == 0:
+            (va, vl), (ta, tl) = split_audio_and_label(audio, label, val_ratio)
+        else:
+            (ta, tl), (va, vl) = split_audio_and_label(audio, label, 1 - val_ratio)
+        if ta is not None:
+            train_a.append(ta)
+            train_l.append(tl)
+        if va is not None:
+            val_a.append(va)
+            val_l.append(vl)
+    return (train_a, train_l), (val_a, val_l)
+
+
+def slice_audio_and_label(audio, label, total_spec_columns: int):
+    """Chop one file into overlapping 2x-clip windows with a one-clip zero left pad
+    (reference datautils.py:251-292)."""
+    sr = label["sr"]
+    clip_duration = total_spec_columns * label["spec_time_step"]
+    num_samples = int(np.round(clip_duration * sr))
+    padded = np.concatenate([np.zeros(num_samples, dtype=audio.dtype), audio])
+    p_onset = label["onset"] + clip_duration
+    p_offset = label["offset"] + clip_duration
+
+    audio_clips, label_clips = [], []
+    for pos in range(0, len(padded), num_samples):
+        clip = padded[pos:pos + 2 * num_samples]
+        if len(clip) / sr < 0.1:
+            continue
+        start, end = pos / sr, (pos + len(clip)) / sr
+        inter = np.logical_and(p_onset < end, p_offset > start)
+        lc = deepcopy(label)
+        lc.update({
+            "onset": np.maximum(p_onset[inter], start) - start,
+            "offset": np.minimum(p_offset[inter], end) - start,
+            "cluster_id": label["cluster_id"][inter],
+            "cluster": [label["cluster"][i] for i in np.nonzero(inter)[0]],
+        })
+        audio_clips.append(clip)
+        label_clips.append(lc)
+    return audio_clips, label_clips
+
+
+def slice_audios_and_labels(audio_list, label_list, total_spec_columns: int):
+    """(reference datautils.py:294-302)"""
+    sliced_a, sliced_l = [], []
+    for audio, label in zip(audio_list, label_list):
+        a, l = slice_audio_and_label(audio, label, total_spec_columns)
+        sliced_a += a
+        sliced_l += l
+    return sliced_a, sliced_l
+
+
+# ---------------------------------------------------------------------- dataset
+
+
+class VocalSegDataset:
+    """Random-crop training dataset (reference datautils.py:304-390).
+
+    ``__getitem__`` returns raw host-side arrays; feature extraction happens in
+    :meth:`collate`, batched on device per frontend configuration.
+    """
+
+    def __init__(self, audio_list, label_list, max_length: int,
+                 total_spec_columns: int):
+        self.audio_list = audio_list
+        self.label_list = label_list
+        self.max_length = max_length
+        self.total_spec_columns = total_spec_columns
+        self._frontends: Dict[Tuple, Frontend] = {}
+
+    def __len__(self):
+        return len(self.audio_list)
+
+    def frontend_for(self, label) -> Frontend:
+        key = (label["sr"], label["spec_time_step"], label.get("min_frequency", 0))
+        if key not in self._frontends:
+            self._frontends[key] = Frontend(key[0], key[1], key[2] or 0)
+        return self._frontends[key]
+
+    def __getitem__(self, idx: int):
+        audio = self.audio_list[idx]
+        label = self.label_list[idx]
+        sr = label["sr"]
+        step = label["spec_time_step"]
+        frontend = self.frontend_for(label)
+
+        num_samples = int(np.round(self.total_spec_columns * step * sr))
+        hi = min(num_samples + 1, len(audio) - frontend.n_fft + 1)
+        clip_start = int(np.random.choice(max(hi, 1)))
+        clip = audio[clip_start:clip_start + num_samples]
+
+        start = clip_start / sr
+        end = start + len(clip) / sr
+        inter = np.logical_and(label["onset"] < end, label["offset"] > start)
+        onset = np.maximum(label["onset"][inter], start) - start
+        offset = np.minimum(label["offset"][inter], end) - start
+        cluster_id = label["cluster_id"][inter]
+
+        target = codec.build_target_ids(
+            label.get("species", "unknown"), onset, offset, cluster_id,
+            step, self.total_spec_columns,
+        )
+        dec_inputs, labels = codec.shift_for_training(target, self.max_length)
+
+        full = np.zeros(num_samples, dtype=np.float32)
+        full[: len(clip)] = clip
+        return {
+            "audio_clip": full,
+            "frontend_key": (sr, step, label.get("min_frequency", 0)),
+            "decoder_input_ids": np.asarray(dec_inputs, dtype=np.int32),
+            "labels": np.asarray(labels, dtype=np.int32),
+        }
+
+    def collate(self, items) -> Dict[str, np.ndarray]:
+        """Assemble a batch; features computed on device per frontend group."""
+        feats = np.empty((len(items), 80, self.total_spec_columns), dtype=np.float32)
+        by_key: Dict[Tuple, List[int]] = {}
+        for i, item in enumerate(items):
+            by_key.setdefault(item["frontend_key"], []).append(i)
+        for key, idxs in by_key.items():
+            frontend = self._frontends[key]
+            clips = np.stack([items[i]["audio_clip"] for i in idxs])
+            f = np.asarray(frontend.features_for_clips(clips, self.total_spec_columns))
+            for j, i in enumerate(idxs):
+                feats[i] = f[j]
+        return {
+            "input_features": feats,
+            "decoder_input_ids": np.stack([it["decoder_input_ids"] for it in items]),
+            "labels": np.stack([it["labels"] for it in items]),
+        }
+
+
+class DataLoader:
+    """Shuffled, optionally drop-last batch iterator with background prefetch."""
+
+    def __init__(self, dataset: VocalSegDataset, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        import queue
+
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.shuffle(order)
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            for b in range(nb):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                items = [self.dataset[int(i)] for i in idxs]
+                q.put(self.dataset.collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch

@@ -1,0 +1,92 @@
+"""Corpus evaluation (behavioral port of reference evaluate.py)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from tqdm import tqdm
+
+from .data import get_audio_and_label_paths, read_label
+from .audio.io import load_audio
+
+
+def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
+             num_trials, num_beams: int = 4, target_cluster: Optional[str] = None,
+             verbose: bool = True):
+    """Micro-averaged segment-wise and frame-wise P/R/F1 over a corpus
+    (reference evaluate.py:9-51). Per-label ``tolerance`` /
+    ``time_per_frame_for_scoring`` fields are intentionally ignored, as in the
+    reference (scores use the segmenter's defaults)."""
+    seg_tp = seg_pred = seg_label = 0
+    fr_tp = fr_pred = fr_label = 0
+
+    iterator = zip(audio_list, label_list)
+    if verbose:
+        iterator = tqdm(iterator, total=len(audio_list))
+    for audio, label in iterator:
+        prediction = segmenter.segment(
+            audio,
+            sr=label["sr"],
+            min_frequency=label.get("min_frequency", None),
+            spec_time_step=label.get("spec_time_step", None),
+            max_length=max_length,
+            batch_size=batch_size,
+            num_trials=num_trials,
+            num_beams=num_beams,
+        )
+        tp, p_pred, p_label = segmenter.segment_score(
+            prediction, label, target_cluster=target_cluster)[:3]
+        seg_tp += tp
+        seg_pred += p_pred
+        seg_label += p_label
+        tp, p_pred, p_label = segmenter.frame_score(
+            prediction, label, target_cluster=target_cluster)[:3]
+        fr_tp += tp
+        fr_pred += p_pred
+        fr_label += p_label
+
+    def prf(tp, pred, label):
+        precision = tp / max(pred, 1e-12)
+        recall = tp / max(label, 1e-12)
+        f1 = 2 / (1 / max(precision, 1e-12) + 1 / max(recall, 1e-12))
+        return [tp, pred, label, precision, recall, f1]
+
+    return {
+        "segment_wise": prf(seg_tp, seg_pred, seg_label),
+        "frame_wise": prf(fr_tp, fr_pred, fr_label),
+    }
+
+
+def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
+                     max_length: int = 448, num_beams: int = 4,
+                     batch_size: int = 8, **kwargs):
+    """(reference evaluate.py:53-84)"""
+    from .segmenter import Segmenter
+
+    audio_list, label_list = [], []
+    audio_paths, label_paths = get_audio_and_label_paths(dataset_folder)
+    for audio_path, label_path in zip(audio_paths, label_paths):
+        label = read_label(label_path)
+        audio, sr = load_audio(audio_path, sr=label.get("sr", None))
+        label["sr"] = sr
+        audio_list.append(audio)
+        label_list.append(label)
+
+    segmenter = Segmenter.from_pretrained(model_path)
+    res = evaluate(audio_list, label_list, segmenter, batch_size, max_length,
+                   num_trials, num_beams, target_cluster=None)
+
+    def expand(row):
+        return {
+            "N-true-positive": row[0],
+            "N-positive-in-prediction": row[1],
+            "N-positive-in-ground-truth": row[2],
+            "precision": row[3],
+            "recall": row[4],
+            "F1": row[5],
+        }
+
+    return {
+        "segment_wise_scores": expand(res["segment_wise"]),
+        "frame_wise_scores": expand(res["frame_wise"]),
+    }

@@ -1,0 +1,124 @@
+"""Single-model segmentation microservice (behavioral port of reference
+segment_service.py).
+
+``POST /segment`` with JSON body ``{audio_file_base64_string, sr,
+min_frequency?, spec_time_step?, min_segment_length?, eps?, num_trials? (default
+3), channel_id?, adobe_audition_compatible?}`` -> 201 with
+``{onset, offset, cluster}`` (key order preserved). Any failure returns an empty
+prediction (reference segment_service.py:84-91). A global semaphore serializes
+requests on the model (reference segment_service.py:58-60,110). The Adobe
+Audition mode reshapes the output into a cue-sheet table with a BOM'd Name column
+and decimal H:MM:SS.mmm times (reference segment_service.py:27-47,93-108).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import threading
+
+from .http_util import JsonHTTPServer, Request
+
+
+def decimal_to_seconds(decimal_time: str) -> float:
+    splits = decimal_time.split(":")
+    if len(splits) == 2:
+        hours, (minutes, seconds) = 0, splits
+    elif len(splits) == 3:
+        hours, minutes, seconds = splits
+    else:
+        raise ValueError(decimal_time)
+    return int(hours) * 3600 + int(minutes) * 60 + float(seconds)
+
+
+def seconds_to_decimal(seconds: float) -> str:
+    hours = int(seconds // 3600)
+    minutes = int(seconds // 60)
+    seconds = seconds % 60
+    if hours > 0:
+        return "%d:%02d:%06.3f" % (hours, minutes, seconds)
+    return "%d:%06.3f" % (minutes, seconds)
+
+
+def adobe_audition_format(prediction: dict) -> dict:
+    starts = [seconds_to_decimal(s) for s in prediction["onset"]]
+    durations = [
+        seconds_to_decimal(e - s)
+        for s, e in zip(prediction["onset"], prediction["offset"])
+    ]
+    n = len(starts)
+    return {
+        "﻿Name": [""] * n,
+        "Start": starts,
+        "Duration": durations,
+        "Time Format": ["decimal"] * n,
+        "Type": ["Cue"] * n,
+        "Description": [""] * n,
+    }
+
+
+def build_app(segmenter, batch_size: int = 8) -> JsonHTTPServer:
+    app = JsonHTTPServer()
+    sem = threading.Semaphore()
+
+    @app.route("/segment", methods=["POST"])
+    def segment(req: Request):
+        from ..audio.io import load_audio
+
+        with sem:
+            adobe = False
+            try:
+                info = {k: v for k, v in req.json.items() if v is not None}
+                audio_b64 = info["audio_file_base64_string"]
+                sr = info["sr"]
+                adobe = info.get("adobe_audition_compatible", False)
+                audio, _ = load_audio(
+                    io.BytesIO(base64.b64decode(audio_b64)), sr=sr, mono=False,
+                    channel_id=info.get("channel_id", 0),
+                )
+                if audio.ndim == 2:
+                    audio = audio[info.get("channel_id", 0)]
+                prediction = segmenter.segment(
+                    audio, sr=sr,
+                    min_frequency=info.get("min_frequency", None),
+                    spec_time_step=info.get("spec_time_step", None),
+                    min_segment_length=info.get("min_segment_length", None),
+                    eps=info.get("eps", None),
+                    num_trials=info.get("num_trials", 3),
+                    batch_size=batch_size,
+                )
+            except Exception:
+                print("Segmentation Error! Returning an empty prediction ...")
+                prediction = {"onset": [], "offset": [], "cluster": []}
+                adobe = False
+            if adobe:
+                prediction = adobe_audition_format(prediction)
+            return prediction, 201
+
+    @app.route("/status", methods=["GET"])
+    def status(req: Request):
+        return {"status": "ready"}, 200
+
+    return app
+
+
+def main(argv=None):
+    from ..segmenter import Segmenter
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", "--flask_port", dest="port", default=8050, type=int)
+    parser.add_argument("--model_path")
+    parser.add_argument("--device", default="tpu", help="accepted for compat")
+    parser.add_argument("--device_ids", type=int, nargs="+", default=[0])
+    parser.add_argument("--batch_size", default=8, type=int)
+    args = parser.parse_args(argv)
+
+    segmenter = Segmenter.from_pretrained(args.model_path)
+    app = build_app(segmenter, args.batch_size)
+    print("Waiting for requests...")
+    app.serve("0.0.0.0", args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,401 @@
+"""Training loop (behavioral port of reference train.py on a JAX device mesh).
+
+Differences from the reference, all TPU-motivated:
+  * bf16 matmuls with f32 params/accumulation instead of fp16 AMP + GradScaler
+    (bf16 needs no loss scaling; reference train.py:24-45).
+  * data parallelism via mesh sharding (gradient all-reduce compiled by XLA over
+    ICI) instead of ``nn.DataParallel``/NCCL (reference train.py:132).
+  * the whole update step (fwd + bwd + AdamW) is one donated jit computation.
+
+Faithfully ported semantics: AdamW with bias/LayerNorm excluded from weight decay
+(train.py:125-130), linear warmup + linear decay schedule (train.py:191-197),
+epoch/iteration reconciliation with a min-iterations floor (train.py:181-189),
+periodic validation with num_trials=1/num_beams=1 (train.py:245-263), early stop
+after two consecutive validation drops past 50% progress (train.py:273-278),
+checkpoint-{step} pruning and final_checkpoint selection (train.py:289-317),
+status.json progress/ETA (train.py:218-228).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .. import codec  # noqa: F401  (re-exported for convenience)
+from ..checkpoint import (
+    finalize_best_checkpoint,
+    list_checkpoints,
+    load_checkpoint,
+    save_training_checkpoint,
+)
+from ..data import (
+    DataLoader,
+    VocalSegDataset,
+    determine_default_config,
+    get_audio_and_label_paths,
+    get_cluster_codebook,
+    load_data,
+    slice_audios_and_labels,
+    train_val_split,
+)
+from ..evaluate import evaluate
+from ..models.config import WhisperConfig, make_config
+from ..models.whisper import (
+    cross_entropy_loss,
+    decoder_forward_train,
+    encoder_forward,
+    init_params,
+)
+from ..segmenter import Segmenter
+
+
+@dataclass
+class TrainArgs:
+    """Mirrors the reference CLI surface (reference train.py:51-88)."""
+
+    initial_model_path: str = "base"
+    model_folder: str = "model"
+    train_dataset_folder: str = ""
+    n_device: Optional[int] = None
+    print_every: int = 100
+    validate_every: Optional[int] = None
+    validate_per_epoch: bool = False
+    save_every: Optional[int] = None
+    save_per_epoch: bool = False
+    max_num_epochs: int = 3
+    max_num_iterations: Optional[int] = None
+    min_num_iterations: int = 500
+    val_ratio: float = 0.0
+    max_length: int = 100
+    total_spec_columns: int = 1000
+    batch_size: int = 4
+    learning_rate: float = 3e-6
+    lr_schedule: str = "linear"
+    max_to_keep: int = -1
+    seed: int = 66100
+    weight_decay: float = 0.01
+    warmup_steps: int = 100
+    freeze_encoder: bool = False
+    dropout: float = 0.0
+    num_workers: int = 4  # accepted for CLI compat; loader uses one prefetch thread
+    clear_cluster_codebook: bool = True
+    ignore_cluster: bool = False
+    tp: int = 1
+    fsdp: bool = False
+    project: str = "whisperseg-tpu"
+    run_name: Optional[str] = None
+    use_wandb: bool = False
+
+
+def load_model_any(path_or_name: str, total_spec_columns: int, dropout: float):
+    """Resolve an initial model: our checkpoint dir, a HF checkpoint dir, or a
+    fresh Whisper family size name ('tiny'..'large') — the counterpart of
+    reference load_model (model.py:76-115)."""
+    import jax
+
+    if os.path.isdir(path_or_name):
+        if os.path.exists(os.path.join(path_or_name, "params.npz")):
+            params, cfg = load_checkpoint(path_or_name)
+            cfg.dropout = dropout
+            cfg.total_spec_columns = total_spec_columns
+            cfg.max_source_positions = total_spec_columns // 2
+            return params, cfg
+        # HF layout
+        from ..models.convert_hf import import_hf_checkpoint
+
+        params, cfg = import_hf_checkpoint(path_or_name, total_spec_columns)
+        cfg.dropout = dropout
+        return params, cfg
+    cfg = make_config(path_or_name, total_spec_columns=total_spec_columns,
+                      dropout=dropout)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+def _decay_mask(params):
+    """True where weight decay applies: everything except biases and norm scales
+    (reference train.py:125-129: no_decay = ['bias', 'LayerNorm.weight'])."""
+    def walk(tree, name=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, k) for k, v in tree.items()}
+        return not (name.endswith("_b") or name.endswith("_g"))
+
+    return walk(params)
+
+
+def make_optimizer(params, learning_rate: float, weight_decay: float,
+                   warmup_steps: int, total_steps: int, lr_schedule: str,
+                   freeze_encoder: bool):
+    import optax
+
+    if lr_schedule == "linear":
+        # HF get_linear_schedule_with_warmup semantics (reference train.py:191-195)
+        def schedule(step):
+            import jax.numpy as jnp
+
+            step = jnp.asarray(step, jnp.float32)
+            ramp = step / jnp.maximum(warmup_steps, 1)
+            decay = jnp.maximum(
+                0.0, (total_steps - step) / jnp.maximum(total_steps - warmup_steps, 1)
+            )
+            return learning_rate * jnp.where(step < warmup_steps, ramp, decay)
+    else:
+        def schedule(step):
+            return learning_rate
+
+    opt = optax.adamw(schedule, weight_decay=weight_decay, mask=_decay_mask(params))
+    if freeze_encoder:
+        def label(tree):
+            return {"encoder": __import__("jax").tree.map(lambda _: "frozen",
+                                                          tree["encoder"]),
+                    "decoder": __import__("jax").tree.map(lambda _: "train",
+                                                          tree["decoder"])}
+
+        opt = optax.multi_transform(
+            {"train": opt, "frozen": optax.set_to_zero()}, label(params)
+        )
+    return opt, schedule
+
+
+def build_train_step(cfg: WhisperConfig, opt):
+    """The donated, jitted (fwd + bwd + AdamW) step.
+
+    Sharding is carried by the *arguments*: params placed via
+    ``parallel.shard_params`` and batches via ``parallel.batch_sharding``;
+    GSPMD propagates layouts through the computation and inserts the gradient
+    all-reduce over ICI."""
+    import jax
+    import optax
+
+    def step_fn(params, opt_state, batch, rng):
+        rng_enc, rng_dec = jax.random.split(rng)
+
+        def loss_fn(p):
+            enc = encoder_forward(p, cfg, batch["input_features"],
+                                  train=cfg.dropout > 0, dropout_rng=rng_enc)
+            logits = decoder_forward_train(p, cfg, enc, batch["decoder_input_ids"],
+                                           train=cfg.dropout > 0, dropout_rng=rng_dec)
+            return cross_entropy_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def run_training(args: TrainArgs) -> Optional[str]:
+    """Full training run; returns the final_checkpoint path (or None)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import make_mesh, shard_params
+
+    np.random.seed(args.seed)
+    if args.val_ratio == 0.0:
+        args.validate_every = None
+        args.validate_per_epoch = False
+    os.makedirs(args.model_folder, exist_ok=True)
+
+    params, cfg = load_model_any(args.initial_model_path, args.total_spec_columns,
+                                 args.dropout)
+
+    segmenter = Segmenter(params, cfg)
+    if args.clear_cluster_codebook:
+        segmenter.update_cluster_codebook({})
+
+    # ---------------------------------------------------------------- data
+    audio_paths, label_paths = get_audio_and_label_paths(args.train_dataset_folder)
+    default_config = determine_default_config(
+        audio_paths, label_paths, args.total_spec_columns,
+        ignore_cluster=args.ignore_cluster,
+    )
+    cfg.default_segmentation_config = default_config
+    segmenter.default_segmentation_config = dict(default_config)
+
+    cluster_codebook = get_cluster_codebook(
+        label_paths, segmenter.cluster_codebook, ignore_cluster=args.ignore_cluster
+    )
+    segmenter.update_cluster_codebook(cluster_codebook)
+
+    audio_list, label_list = load_data(
+        audio_paths, label_paths, cluster_codebook=cluster_codebook, n_threads=20,
+        default_config=default_config, ignore_cluster=args.ignore_cluster,
+    )
+
+    audio_list_val, label_list_val = [], []
+    if args.val_ratio > 0:
+        (audio_list, label_list), (audio_list_val, label_list_val) = train_val_split(
+            audio_list, label_list, args.val_ratio
+        )
+
+    audio_list, label_list = slice_audios_and_labels(
+        audio_list, label_list, args.total_spec_columns
+    )
+
+    dataset = VocalSegDataset(audio_list, label_list, args.max_length,
+                              args.total_spec_columns)
+    loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True)
+    if len(loader) == 0:
+        loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=False)
+    if len(loader) == 0:
+        raise RuntimeError("Too few examples (less than a batch) for training!")
+
+    # ------------------------------------------------- schedule reconciliation
+    if args.max_num_iterations is not None and args.max_num_iterations > 0:
+        args.max_num_epochs = int(np.ceil(args.max_num_iterations / len(loader)))
+    else:
+        assert args.max_num_epochs and args.max_num_epochs > 0
+        args.max_num_iterations = len(loader) * args.max_num_epochs
+        if args.min_num_iterations is not None:
+            args.max_num_iterations = max(args.max_num_iterations,
+                                          args.min_num_iterations)
+            args.max_num_epochs = int(np.ceil(args.max_num_iterations / len(loader)))
+
+    # --------------------------------------------------------------- optimizer
+    opt, schedule = make_optimizer(
+        params, args.learning_rate, args.weight_decay, args.warmup_steps,
+        args.max_num_iterations, args.lr_schedule, args.freeze_encoder,
+    )
+
+    mesh = make_mesh(args.n_device, tp=args.tp)
+    multi_device = int(np.prod(mesh.devices.shape)) > 1
+    if multi_device:
+        from ..parallel.mesh import batch_sharding
+
+        params = shard_params(mesh, params, cfg, tp=args.tp > 1, fsdp=args.fsdp)
+        opt_state = opt.init(params)  # inherits parameter shardings
+        batch_shd = batch_sharding(mesh)
+        assert args.batch_size % mesh.devices.shape[0] == 0, (
+            f"batch_size {args.batch_size} must divide by dp={mesh.devices.shape[0]}"
+        )
+    else:
+        opt_state = opt.init(params)
+    train_step = build_train_step(cfg, opt)
+
+    # ------------------------------------------------------------ logging setup
+    metrics_path = os.path.join(args.model_folder, "metrics.jsonl")
+    wandb = None
+    if args.use_wandb:
+        try:
+            import wandb as _wandb
+
+            wandb = _wandb
+            wandb.init(project=args.project, name=args.run_name)
+        except Exception:
+            wandb = None
+
+    def log_metrics(d):
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(d) + "\n")
+        if wandb is not None:
+            wandb.log(d)
+
+    # ----------------------------------------------------------------- the loop
+    rng = jax.random.PRNGKey(args.seed)
+    current_step = 0
+    loss_window: List[float] = []
+    val_score_history: List = []
+    early_stop = False
+    progress = 0
+    start_time = time.time()
+
+    segmenter.params = params  # keep validation on the live weights
+
+    for epoch in range(args.max_num_epochs + 1):
+        for count, batch in enumerate(loader):
+            rng, sub = jax.random.split(rng)
+            if multi_device:
+                batch_dev = {k: jax.device_put(jnp.asarray(v), batch_shd)
+                             for k, v in batch.items()}
+            else:
+                batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, loss = train_step(params, opt_state, batch_dev, sub)
+            loss_window.append(float(loss))
+            current_step += 1
+            segmenter.params = params
+
+            frac = current_step / args.max_num_iterations
+            current_progress = int(np.round(frac * 100))
+            if current_progress > progress:
+                eta = int((time.time() - start_time) / frac * (1 - frac))
+                json.dump(
+                    {"progress": current_progress,
+                     "eta": "%02d:%02d:%02d" % (eta // 3600, (eta % 3600) // 60,
+                                                eta % 60)},
+                    open(os.path.join(args.model_folder, "status.json"), "w"),
+                )
+            progress = current_progress
+
+            if current_step % args.print_every == 0:
+                lr_now = float(schedule(current_step))
+                mean_loss = float(np.mean(loss_window))
+                print(f"Epoch: {epoch}, current_step: {current_step}, "
+                      f"learning rate: {lr_now:.8f}, Loss: {mean_loss:.4f}")
+                log_metrics({"current_step": current_step, "epoch": epoch,
+                             "train/loss": mean_loss, "train/learning_rate": lr_now})
+                loss_window = []
+
+            run_validation = (
+                (args.validate_every is not None
+                 and current_step % args.validate_every == 0)
+                or (args.validate_per_epoch and count == len(loader) - 1)
+            )
+            if run_validation and len(audio_list_val) > 0:
+                eval_res = evaluate(audio_list_val, label_list_val, segmenter,
+                                    args.batch_size, args.max_length,
+                                    num_trials=1, num_beams=1, verbose=False)
+                seg_f1 = eval_res["segment_wise"][-1]
+                frame_f1 = eval_res["frame_wise"][-1]
+                score = (seg_f1 + frame_f1) * 0.5
+                print(f"Epoch: {epoch}, current_step: {current_step}, "
+                      f"validation segment F1: {seg_f1:.4f}, frame F1: {frame_f1:.4f}")
+                log_metrics({"current_step": current_step,
+                             "validate/score": score,
+                             "validate/segment_score": seg_f1,
+                             "validate/frame_score": frame_f1})
+                val_score_history.append((current_step, score))
+
+            if ((args.save_every is not None
+                 and current_step % args.save_every == 0)
+                    or (args.save_per_epoch and count == len(loader) - 1)):
+                save_training_checkpoint(args.model_folder, params, cfg,
+                                         current_step, args.max_to_keep)
+
+            if current_step >= 0.5 * args.max_num_iterations:
+                if (len(val_score_history) >= 3
+                        and val_score_history[-1][1] < val_score_history[-2][1]
+                        and val_score_history[-2][1] < val_score_history[-3][1]):
+                    early_stop = True
+
+            if current_step >= args.max_num_iterations or early_stop:
+                if not os.path.exists(os.path.join(
+                        args.model_folder, f"checkpoint-{current_step}")):
+                    save_training_checkpoint(args.model_folder, params, cfg,
+                                             current_step, args.max_to_keep)
+                break
+        if current_step >= args.max_num_iterations or early_stop:
+            break
+
+    json.dump({"progress": 100, "eta": "00:00:00"},
+              open(os.path.join(args.model_folder, "status.json"), "w"))
+
+    best_step = None
+    if val_score_history:
+        best_step = sorted(val_score_history, key=lambda x: -x[1])[0][0]
+    final = finalize_best_checkpoint(args.model_folder, best_step)
+
+    try:
+        os.remove(os.path.join(args.model_folder, "status.json"))
+    except OSError:
+        pass
+    if final:
+        print(f"Final checkpoint: {final}")
+    print("All Done!")
+    return final
