@@ -1,0 +1,41 @@
+"""Model resolution & caching (counterpart of reference model.py:37-56).
+
+``download_model`` resolves a model name to a local checkpoint directory:
+local paths pass through; otherwise the name is looked up in the cache directory
+(``$WHISPERSEG_MODEL_CACHE``, default ``~/.cache/whisperseg_tpu_models/``) under a
+sha256 of the name, attempting a HuggingFace Hub snapshot download on a miss when
+the hub is reachable (this build environment has no egress — the cache-first path
+is the production path)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def model_cache_dir() -> str:
+    return os.environ.get(
+        "WHISPERSEG_MODEL_CACHE",
+        os.path.expanduser("~/.cache/whisperseg_tpu_models/"),
+    )
+
+
+def download_model(model_name: str, ignore_cache: bool = False) -> str:
+    """Local path passthrough, else cache lookup, else hub snapshot download."""
+    if os.path.exists(model_name):
+        return model_name
+    digest = hashlib.sha256(model_name.encode()).hexdigest()
+    target = os.path.join(model_cache_dir(), digest)
+    if os.path.isdir(target) and os.listdir(target) and not ignore_cache:
+        return target
+    try:
+        from huggingface_hub import snapshot_download
+
+        os.makedirs(target, exist_ok=True)
+        snapshot_download(model_name, local_dir=target)
+        return target
+    except Exception as e:
+        raise FileNotFoundError(
+            f"model {model_name!r} is neither a local path nor cached under "
+            f"{target}, and hub download failed ({type(e).__name__}: {e})"
+        )
