@@ -75,7 +75,26 @@ def _read_wav_ieee_float(path_or_bytes) -> Optional[Tuple[np.ndarray, int]]:
 
 
 def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
-    """Decode a WAV file (path, bytes, or file-like) -> (float32 (frames, ch), sr)."""
+    """Decode a WAV file (path, bytes, or file-like) -> (float32 (frames, ch), sr).
+
+    Uses the native C++ decoder (native/src/ws_audio.cpp) when built, with this
+    numpy implementation as the reference fallback."""
+    from . import native
+
+    if native.available():
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            data = bytes(path_or_bytes)
+        elif hasattr(path_or_bytes, "read"):
+            path_or_bytes.seek(0)
+            data = path_or_bytes.read()
+        else:
+            with open(path_or_bytes, "rb") as f:
+                data = f.read()
+        decoded = native.decode_wav(data)
+        if decoded is not None:
+            return decoded
+        path_or_bytes = data  # fall through to the numpy path
+
     if isinstance(path_or_bytes, (bytes, bytearray)):
         src = io.BytesIO(bytes(path_or_bytes))
     elif hasattr(path_or_bytes, "read"):
@@ -100,9 +119,16 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
 
 
 def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase FIR resampling along the first axis."""
+    """Polyphase FIR resampling along the first axis (native C++ when built,
+    scipy fallback)."""
     if orig_sr == target_sr:
         return y
+    from . import native
+
+    if native.available() and y.ndim == 1:
+        out = native.resample(y, int(orig_sr), int(target_sr))
+        if out is not None:
+            return out
     from math import gcd
 
     from scipy.signal import resample_poly
