@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_RTF = 4.0  # audio-seconds/sec, CT2 whisper-large on GPU (see BENCH.md)
 
 MODEL_SIZE = os.environ.get("BENCH_MODEL", "large")
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 MAX_LENGTH = int(os.environ.get("BENCH_MAX_LENGTH", "32"))
 AUDIO_SECONDS = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
 SR = 32000
@@ -45,6 +45,9 @@ def main():
 
     cfg = make_config(MODEL_SIZE, total_spec_columns=1000)
     params = init_params(jax.random.PRNGKey(0), cfg)
+    # inference weights in bf16: the decode loop is HBM-bound on the weight
+    # stream (see Segmenter.inference_dtype)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     clip_duration = 1000 * SPEC_TIME_STEP  # 2.5 s per window
     clip_samples = int(clip_duration * SR)

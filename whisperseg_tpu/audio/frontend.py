@@ -124,7 +124,13 @@ class Frontend:
     __import__("jax").jit, static_argnames=("hop_length", "n_fft")
 )
 def _log_mel_batch_jax(clips, window, mel, hop_length: int, n_fft: int):
+    """Gather-framing + rFFT formulation (fast and float64-class accurate on
+    CPU; on TPU the conv-DFT formulation below is used instead)."""
+    import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() == "tpu":
+        return _log_mel_batch_tpu(clips, mel, hop_length, n_fft)
 
     pad = n_fft // 2
     x = jnp.pad(clips, ((0, 0), (pad, pad)), mode="reflect")
@@ -138,9 +144,56 @@ def _log_mel_batch_jax(clips, window, mel, hop_length: int, n_fft: int):
     spec = jnp.fft.rfft(frames, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, F, n_freq)
     melspec = jnp.maximum(1e-10, jnp.einsum(
-        "bfk,km->bfm", power, mel, preferred_element_type=jnp.float32))
+        "bfk,km->bfm", power, mel, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST))
     log_spec = jnp.log10(melspec).transpose(0, 2, 1)  # (B, 80, F)
     log_spec = log_spec[:, :, :-1]  # drop last frame
+    max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, max_val - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def _log_mel_batch_tpu(clips, mel, hop_length: int, n_fft: int):
+    """TPU formulation: framing + windowing + DFT folded into ONE strided
+    convolution against the window-folded cos/sin bank (an MXU matmul — TPU
+    gathers are slow and jnp.fft is not competitive), then fused
+    power -> mel -> log, in Pallas when the geometry allows.
+
+    ``precision=HIGHEST`` keeps the DFT in true f32 (default MXU precision is a
+    single bf16 pass, which is audibly wrong after log compression).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.logmel_pallas import dft_bank, melproject_pallas, pallas_ok
+
+    pad = n_fft // 2
+    x = jnp.pad(clips, ((0, 0), (pad, pad)), mode="reflect")
+    bank = jnp.asarray(dft_bank(n_fft))  # (2 * f_pad, 1, n_fft), window folded in
+    f_pad = bank.shape[0] // 2
+    num_frames = 1 + (x.shape[1] - n_fft) // hop_length
+
+    reim = lax.conv_general_dilated(
+        x[:, None, :], bank, window_strides=(hop_length,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, 2 * f_pad, F)
+    reim = reim[:, :, : num_frames - 1]  # drop last frame now (saves work)
+
+    if pallas_ok(n_fft):
+        log_spec = melproject_pallas(reim, mel, n_fft)  # (B, 80, F-1)
+    else:
+        re = reim[:, :f_pad, :]
+        im = reim[:, f_pad:, :]
+        power = re * re + im * im  # (B, f_pad, F-1)
+        n_freq = mel.shape[0]
+        melspec = jnp.maximum(1e-10, jnp.einsum(
+            "bkf,km->bmf", power[:, :n_freq, :], mel,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+        log_spec = jnp.log10(melspec)
     max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, max_val - 8.0)
     return (log_spec + 4.0) / 4.0

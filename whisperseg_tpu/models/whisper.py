@@ -186,7 +186,7 @@ def encoder_forward(
     x = x.transpose(0, 2, 1)  # [B, S, D]
 
     s = x.shape[1]
-    x = x + enc["pos_emb"][:s][None]
+    x = (x + enc["pos_emb"][:s][None]).astype(jnp.float32)
 
     rate = cfg.dropout if train else 0.0
     num_heads = cfg.num_heads
@@ -239,7 +239,8 @@ def decoder_forward_train(
     num_heads = cfg.num_heads
     b, l = input_ids.shape
 
-    x = dec["tok_emb"][input_ids] + dec["pos_emb"][:l][None]
+    # residual stream stays f32 regardless of parameter storage dtype
+    x = (dec["tok_emb"][input_ids] + dec["pos_emb"][:l][None]).astype(jnp.float32)
 
     causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]  # [1,1,L,L]
 
@@ -349,7 +350,8 @@ def decoder_step(
     max_len = cache_k.shape[2]
 
     pos = pos0 + jnp.arange(lc)
-    x = dec["tok_emb"][input_ids] + jnp.take(dec["pos_emb"], pos, axis=0)[None]
+    x = (dec["tok_emb"][input_ids]
+         + jnp.take(dec["pos_emb"], pos, axis=0)[None]).astype(jnp.float32)
 
     key_pos = jnp.arange(max_len)[None, None, None, :]           # [1,1,1,K]
     query_pos = (pos0 + jnp.arange(lc))[None, None, :, None]     # [1,1,Lc,1]

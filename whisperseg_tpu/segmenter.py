@@ -42,9 +42,24 @@ from .scoring import segment_score as _segment_score
 
 
 class Segmenter:
-    """Segmentation front-door over a (params, config) model pytree."""
+    """Segmentation front-door over a (params, config) model pytree.
 
-    def __init__(self, params, config: WhisperConfig):
+    ``inference_dtype='bfloat16'`` (default) casts the weights once for
+    inference: the autoregressive decode loop is HBM-bandwidth-bound on the
+    weight stream, so halving the bytes read per step nearly doubles decode
+    throughput with no accuracy cost at the F1 level (layernorm/softmax/logits
+    still accumulate in float32)."""
+
+    def __init__(self, params, config: WhisperConfig,
+                 inference_dtype: str = "bfloat16"):
+        if inference_dtype is not None:
+            import jax
+            import jax.numpy as jnp
+
+            target = jnp.dtype(inference_dtype)
+            params = jax.tree.map(
+                lambda x: x.astype(target) if hasattr(x, "astype") else x, params
+            )
         self.params = params
         self.config = config
         self.total_spec_columns = config.total_spec_columns
