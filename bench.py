@@ -45,9 +45,15 @@ def main():
 
     cfg = make_config(MODEL_SIZE, total_spec_columns=1000)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    # inference weights in bf16: the decode loop is HBM-bound on the weight
-    # stream (see Segmenter.inference_dtype)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    # inference weights: int8 projections + bf16 rest by default (the decode
+    # loop is HBM-bound on the weight stream; see Segmenter.inference_dtype)
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    if quant == "int8":
+        from whisperseg_tpu.ops.quant import cast_float_leaves, quantize_params
+
+        params = cast_float_leaves(quantize_params(params), "bfloat16")
+    else:
+        params = jax.tree.map(lambda x: x.astype(jnp.dtype(quant)), params)
 
     clip_duration = 1000 * SPEC_TIME_STEP  # 2.5 s per window
     clip_samples = int(clip_duration * SR)
@@ -59,14 +65,26 @@ def main():
     rng = np.random.RandomState(0)
     frontend = Frontend(SR, SPEC_TIME_STEP, 0)
 
+    # One fused jitted computation per batch: clips -> features -> decode
+    # (minimizes host->device round trips, which dominate over a tunnel).
+    @jax.jit
+    def segment_batch(params, clips):
+        feats = frontend.features_for_clips(clips, 1000)
+        # early_exit=False: random weights emit EOT unpredictably; force the
+        # calibrated per-window token budget so runs are comparable.
+        return generate(params, cfg, feats, max_length=MAX_LENGTH,
+                        num_beams=1, top_k=1, early_exit=False)
+
+    batches = [
+        jnp.asarray(rng.randn(BATCH, clip_samples).astype(np.float32) * 0.1)
+        for _ in range(num_windows // BATCH)
+    ]
+
     def one_pass():
         t0 = time.perf_counter()
         total_tokens = 0
-        for b in range(num_windows // BATCH):
-            clips = rng.randn(BATCH, clip_samples).astype(np.float32) * 0.1
-            feats = frontend.features_for_clips(clips, 1000)
-            tokens = generate(params, cfg, feats, max_length=MAX_LENGTH,
-                              num_beams=1, top_k=1)
+        for clips in batches:
+            tokens = segment_batch(params, clips)
             tokens.block_until_ready()
             total_tokens += int(np.prod(tokens.shape))
         return time.perf_counter() - t0, total_tokens

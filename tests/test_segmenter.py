@@ -38,9 +38,9 @@ class StubGen:
         self.window_tokens = window_tokens
         seg._generate_tokens = self  # type: ignore
 
-    def __call__(self, features, batch_size, max_length, num_beams, top_k,
-                 length_penalty, seed, status_monitor):
-        assert features.shape[0] == len(self.window_tokens)
+    def __call__(self, clips, frontend, batch_size, max_length, num_beams,
+                 top_k, length_penalty, seed, status_monitor):
+        assert clips.shape[0] == len(self.window_tokens)
         if status_monitor is not None:
             status_monitor["progress"] = 100
         return self.window_tokens

@@ -48,7 +48,8 @@ def _sample_or_argmax(logits, top_k: int, rng):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_length", "num_beams", "top_k")
+    jax.jit,
+    static_argnames=("cfg", "max_length", "num_beams", "top_k", "early_exit"),
 )
 def generate(
     params,
@@ -59,24 +60,28 @@ def generate(
     num_beams: int = 1,
     top_k: int = 1,
     length_penalty: float = 1.0,
+    early_exit: bool = True,
 ):
     """Features -> generated token ids [B, max_length] (prompt included, PAD-padded).
 
     ``max_length`` caps the total sequence length including the 3-token prompt,
     mirroring HF ``generate(max_length=...)`` semantics (reference model.py:613).
-    """
+    ``early_exit=False`` forces the full token budget (benchmarking)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     enc_out = encoder_forward(params, cfg, features)
     if num_beams <= 1:
-        return _generate_greedy(params, cfg, enc_out, rng, max_length, top_k)
-    return _generate_beam(params, cfg, enc_out, max_length, num_beams, length_penalty)
+        return _generate_greedy(params, cfg, enc_out, rng, max_length, top_k,
+                                early_exit)
+    return _generate_beam(params, cfg, enc_out, max_length, num_beams,
+                          length_penalty, early_exit)
 
 
 # ----------------------------------------------------------------- greedy / sample
 
 
-def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int):
+def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
+                     early_exit: bool = True):
     batch = enc_out.shape[0]
     prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None], (batch, 1))
     prompt_len = prompt.shape[1]
@@ -95,6 +100,8 @@ def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int):
 
     def cond(state):
         tokens, pos, ck, cv, finished, rng, cur = state
+        if not early_exit:
+            return pos + 1 < max_length
         return jnp.logical_and(pos + 1 < max_length, ~jnp.all(finished))
 
     def body(state):
@@ -123,7 +130,7 @@ def _beam_rows(beam_idx, batch: int, k: int):
 
 
 def _generate_beam(params, cfg, enc_out, max_length: int, num_beams: int,
-                   length_penalty: float):
+                   length_penalty: float, early_exit: bool = True):
     batch, s, d = enc_out.shape
     k = num_beams
 
@@ -156,6 +163,8 @@ def _generate_beam(params, cfg, enc_out, max_length: int, num_beams: int,
 
     def cond(state):
         tokens, pos, ck, cv, scores, finished, lengths, cur = state
+        if not early_exit:
+            return pos + 1 < max_length
         return jnp.logical_and(pos + 1 < max_length, ~jnp.all(finished))
 
     def body(state):

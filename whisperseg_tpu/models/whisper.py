@@ -125,6 +125,10 @@ def _layer_norm(x, g, b, eps=1e-5):
 
 
 def _dot(x, w, cdt):
+    from ..ops.quant import QuantTensor, qdot
+
+    if isinstance(w, QuantTensor):
+        return qdot(x, w)
     return jnp.dot(x.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32)
 
 

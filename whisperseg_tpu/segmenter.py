@@ -52,7 +52,12 @@ class Segmenter:
 
     def __init__(self, params, config: WhisperConfig,
                  inference_dtype: str = "bfloat16"):
-        if inference_dtype is not None:
+        if inference_dtype == "int8":
+            # CT2 int8_float16 equivalent: int8 projection weights, bf16 rest
+            from .ops.quant import cast_float_leaves, quantize_params
+
+            params = cast_float_leaves(quantize_params(params), "bfloat16")
+        elif inference_dtype is not None:
             import jax
             import jax.numpy as jnp
 
@@ -119,9 +124,36 @@ class Segmenter:
 
     # ---------------------------------------------------------------- generation
 
+    def _segment_fn(self, frontend: Frontend, max_length: int, num_beams: int,
+                    top_k: int):
+        """One fused jitted computation: raw audio clips -> log-mel features ->
+        autoregressive decode -> token ids. Fusing the frontend into the decode
+        call halves host->device round trips per batch (which dominate when the
+        device is reached over a network tunnel)."""
+        import jax
+
+        from .decode import generate
+
+        key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
+               frontend.max_frequency, max_length, num_beams, top_k)
+        cache = self.__dict__.setdefault("_segment_fn_cache", {})
+        if key not in cache:
+            total = self.total_spec_columns
+            cfg = self.config
+
+            def fn(params, clips, rng, length_penalty):
+                feats = frontend.features_for_clips(clips, total)
+                return generate(params, cfg, feats, rng=rng,
+                                max_length=max_length, num_beams=num_beams,
+                                top_k=top_k, length_penalty=length_penalty)
+
+            cache[key] = jax.jit(fn)
+        return cache[key]
+
     def _generate_tokens(
         self,
-        features: np.ndarray,  # [N, 80, total_spec_columns]
+        clips: np.ndarray,  # [N, clip_samples] raw audio windows
+        frontend: Frontend,
         batch_size: int,
         max_length: int,
         num_beams: int,
@@ -130,18 +162,17 @@ class Segmenter:
         seed: int,
         status_monitor: Optional[dict],
     ) -> List[List[int]]:
-        """Run the jitted generator over fixed-size batches (last batch padded so
-        every call reuses one compiled executable)."""
+        """Run the fused frontend+decode computation over fixed-size batches
+        (last batch zero-padded so every call reuses one compiled executable)."""
         import jax
         import jax.numpy as jnp
 
-        from .decode import generate
-
-        n = features.shape[0]
+        fn = self._segment_fn(frontend, max_length, num_beams, top_k)
+        n = clips.shape[0]
         out: List[List[int]] = []
         rng = jax.random.PRNGKey(seed)
         for pos in range(0, n, batch_size):
-            chunk = features[pos:pos + batch_size]
+            chunk = clips[pos:pos + batch_size]
             real = chunk.shape[0]
             if real < batch_size:
                 chunk = np.concatenate(
@@ -149,16 +180,8 @@ class Segmenter:
                                      chunk.dtype)]
                 )
             rng, sub = jax.random.split(rng)
-            tokens = generate(
-                self.params,
-                self.config,
-                jnp.asarray(chunk),
-                rng=sub,
-                max_length=max_length,
-                num_beams=num_beams,
-                top_k=top_k,
-                length_penalty=length_penalty,
-            )
+            tokens = fn(self.params, jnp.asarray(chunk), sub,
+                        float(length_penalty))
             out += np.asarray(tokens)[:real].tolist()
             if status_monitor is not None:
                 status_monitor["progress"] = int(
@@ -266,24 +289,9 @@ class Segmenter:
         clips, meta = self.slice_audio_windows(audio, sr, spec_time_step, num_trials)
 
         frontend = Frontend(sr, spec_time_step, min_frequency)
-        # Device-side feature extraction in the same fixed batches as generation.
-        feats_list = []
-        for pos in range(0, clips.shape[0], batch_size):
-            chunk = clips[pos:pos + batch_size]
-            real = chunk.shape[0]
-            if real < batch_size:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((batch_size - real,) + chunk.shape[1:], chunk.dtype)]
-                )
-            f = np.asarray(
-                frontend.features_for_clips(chunk, self.total_spec_columns)
-            )[:real]
-            feats_list.append(f)
-        features = np.concatenate(feats_list, axis=0)
-
         token_lists = self._generate_tokens(
-            features, batch_size, max_length, num_beams, top_k, length_penalty,
-            seed, status_monitor,
+            clips, frontend, batch_size, max_length, num_beams, top_k,
+            length_penalty, seed, status_monitor,
         )
 
         final = self._parse_generation(

@@ -90,6 +90,7 @@ class TrainArgs:
     project: str = "whisperseg-tpu"
     run_name: Optional[str] = None
     use_wandb: bool = False
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 10..14
 
 
 def load_model_any(path_or_name: str, total_spec_columns: int, dropout: float):
@@ -298,6 +299,8 @@ def run_training(args: TrainArgs) -> Optional[str]:
             wandb.log(d)
 
     # ----------------------------------------------------------------- the loop
+    from ..profiling import StepTimer
+
     rng = jax.random.PRNGKey(args.seed)
     current_step = 0
     loss_window: List[float] = []
@@ -305,6 +308,7 @@ def run_training(args: TrainArgs) -> Optional[str]:
     early_stop = False
     progress = 0
     start_time = time.time()
+    timer = StepTimer()
 
     segmenter.params = params  # keep validation on the live weights
 
@@ -316,8 +320,14 @@ def run_training(args: TrainArgs) -> Optional[str]:
                              for k, v in batch.items()}
             else:
                 batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            if args.profile_dir and current_step == 10:
+                jax.profiler.start_trace(args.profile_dir)
             params, opt_state, loss = train_step(params, opt_state, batch_dev, sub)
             loss_window.append(float(loss))
+            if args.profile_dir and current_step == 14:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+            timer.tick()
             current_step += 1
             segmenter.params = params
 
@@ -339,7 +349,8 @@ def run_training(args: TrainArgs) -> Optional[str]:
                 print(f"Epoch: {epoch}, current_step: {current_step}, "
                       f"learning rate: {lr_now:.8f}, Loss: {mean_loss:.4f}")
                 log_metrics({"current_step": current_step, "epoch": epoch,
-                             "train/loss": mean_loss, "train/learning_rate": lr_now})
+                             "train/loss": mean_loss, "train/learning_rate": lr_now,
+                             **{f"perf/{k}": v for k, v in timer.summary().items()}})
                 loss_window = []
 
             run_validation = (
