@@ -85,8 +85,9 @@ def main():
         total_tokens = 0
         for clips in batches:
             tokens = segment_batch(params, clips)
-            tokens.block_until_ready()
-            total_tokens += int(np.prod(tokens.shape))
+            # np.asarray forces a real device->host sync (block_until_ready is
+            # not a reliable barrier on tunneled PJRT backends)
+            total_tokens += int(np.asarray(tokens).size)
         return time.perf_counter() - t0, total_tokens
 
     one_pass()  # warmup / compile

@@ -61,17 +61,36 @@ def quantize(w, axis: int = -1) -> QuantTensor:
     return QuantTensor(values, scale)
 
 
-def qdot(x, qt: QuantTensor):
+def qdot(x, qt: QuantTensor, mode: str = "w8a16"):
     """x [..., in] @ QuantTensor [in, out] -> float32 [..., out].
 
-    Dynamic symmetric per-row activation quantization; int8 x int8 -> int32 on
-    the MXU; rescale by (row_amax / 127) * weight_scale.
+    mode="w8a16" (default): weight-only quantization — int8 weights are
+    dequantized to bf16 on the fly (fused into the weight load by XLA) and the
+    matmul runs in bf16 on the MXU with f32 accumulation. Halves the HBM weight
+    stream vs bf16 with negligible numeric change (measured: identical
+    transcripts on converged models).
+
+    mode="w8a8": dynamic per-row activation quantization + int8 x int8 -> int32.
+    Kept for experimentation; on v5e the int8 dot was measured SLOWER than
+    bf16 inside the decode scan (it misses the MXU fast path), so it is not the
+    default.
     """
+    dims_last = x.ndim - 1
+    if mode == "w8a16":
+        # XLA:CPU cannot emit bf16 dots; f32 there (numerically a superset)
+        cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        w = qt.values.astype(cdt) * qt.scale.astype(cdt)
+        return jax.lax.dot_general(
+            x.astype(cdt), w,
+            dimension_numbers=(((dims_last,), (qt.values.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     x = x.astype(jnp.float32)
     row_amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     row_scale = jnp.where(row_amax > 0, row_amax / 127.0, 1.0)
     xq = jnp.clip(jnp.round(x / row_scale), -127, 127).astype(jnp.int8)
-    dims = (((x.ndim - 1,), (qt.values.ndim - 2,)), ((), ()))
+    dims = (((dims_last,), (qt.values.ndim - 2,)), ((), ()))
     if jax.default_backend() == "tpu":
         acc = jax.lax.dot_general(
             xq, qt.values, dimension_numbers=dims,
