@@ -205,7 +205,11 @@ def encoder_forward(
         q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
         k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads)
         v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], num_heads)
-        a = _dot(_attention(q, k, v, cdt), lp["o_w"], cdt) + lp["o_b"]
+        # flash attention on TPU (S x S scores never materialized); XLA elsewhere
+        from ..ops.attention import self_attention
+
+        a = _dot(self_attention(q.astype(cdt), k.astype(cdt), v.astype(cdt)),
+                 lp["o_w"], cdt) + lp["o_b"]
         if rate > 0.0:
             a = _dropout(a, rate, rng1)
         x = x + a
@@ -382,8 +386,12 @@ def decoder_step(
         x = x + _dot(h, lp["fc2_w"], cdt) + lp["fc2_b"]
         return x, (ck_l, cv_l)
 
+    import os
+
+    unroll = int(os.environ.get("WS_DECODE_UNROLL", "1"))
     x, (new_ck, new_cv) = lax.scan(
-        layer_fn, x, (dec["layers"], cross_k, cross_v, cache_k, cache_v)
+        layer_fn, x, (dec["layers"], cross_k, cross_v, cache_k, cache_v),
+        unroll=unroll,
     )
     x = _layer_norm(x, dec["ln_post_g"], dec["ln_post_b"])
     logits = _dot(x, dec["tok_emb"].T, cdt)

@@ -77,6 +77,9 @@ def qdot(x, qt: QuantTensor, mode: str = "w8a16"):
     """
     dims_last = x.ndim - 1
     if mode == "w8a16":
+        if (jax.default_backend() == "tpu" and qt.values.ndim == 2
+                and _pallas_w8_ok(x.shape, qt.values.shape)):
+            return _qdot_pallas_w8a16(x, qt)
         # XLA:CPU cannot emit bf16 dots; f32 there (numerically a superset)
         cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         w = qt.values.astype(cdt) * qt.scale.astype(cdt)
@@ -106,6 +109,66 @@ def qdot(x, qt: QuantTensor, mode: str = "w8a16"):
     # scale shape [..., 1, out] -> broadcast over the row dims
     scale = jnp.squeeze(qt.scale, axis=-2)
     return acc.astype(jnp.float32) * row_scale * scale
+
+
+def _pallas_w8_ok(x_shape, w_shape) -> bool:
+    """Fused kernel envelope: lane-aligned dims, weight tile fits VMEM, and a
+    SMALL row count — the kernel keeps the whole activation block in VMEM, so
+    it targets the latency-bound decode step (few rows, weight-stream-bound);
+    large-M matmuls (encoder / prefill) are compute-bound and stay on XLA."""
+    k_dim, out = w_shape
+    m = 1
+    for d in x_shape[:-1]:
+        m *= d
+    return (
+        k_dim % 128 == 0 and out % 128 == 0 and 1 <= m <= 512
+        and k_dim * min(out, 512) <= 4 * 1024 * 1024  # int8 bytes per tile
+    )
+
+
+def _qdot_pallas_w8a16(x, qt: "QuantTensor"):
+    """Fused dequant-matmul: int8 weights are dequantized to bf16 *in VMEM*,
+    so the bf16 weight copy never exists in HBM (XLA materializes it, tripling
+    the weight traffic the quantization was supposed to save)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    k_dim, out = qt.values.shape
+    x2 = x.reshape(-1, k_dim)
+    m = x2.shape[0]
+    m_pad = -(-m // 8) * 8
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    out_tile = min(out, 512)
+
+    def kernel(x_ref, w_ref, s_ref, o_ref):
+        w = w_ref[:, :].astype(jnp.bfloat16) * s_ref[:, :].astype(jnp.bfloat16)
+        o_ref[:, :] = jnp.dot(
+            x_ref[:, :].astype(jnp.bfloat16), w,
+            preferred_element_type=jnp.float32,
+        )
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(out // out_tile,),
+        in_specs=[
+            pl.BlockSpec((m_pad, k_dim), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_dim, out_tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, out_tile), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, out), jnp.float32),
+    )(x2, qt.values, qt.scale)
+
+    return y[:m].reshape(*orig_shape[:-1], out)
 
 
 _QUANT_LEAF_NAMES = {
