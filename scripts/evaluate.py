@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint on a labeled dataset folder.
+
+    python scripts/evaluate.py --dataset_folder data/test \
+        --model_path ./model/final_checkpoint --num_trials 3
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset_folder", required=True)
+    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--num_trials", type=int, default=3)
+    parser.add_argument("--max_length", type=int, default=448)
+    parser.add_argument("--num_beams", type=int, default=4)
+    parser.add_argument("--batch_size", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    from whisperseg_tpu.evaluate import evaluate_dataset
+
+    res = evaluate_dataset(
+        args.dataset_folder, args.model_path, num_trials=args.num_trials,
+        max_length=args.max_length, num_beams=args.num_beams,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()
