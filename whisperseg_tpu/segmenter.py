@@ -51,7 +51,7 @@ class Segmenter:
     still accumulate in float32)."""
 
     def __init__(self, params, config: WhisperConfig,
-                 inference_dtype: str = "bfloat16"):
+                 inference_dtype: str = "bfloat16", mesh=None):
         if inference_dtype == "int8":
             # CT2 int8_float16 equivalent: int8 projection weights, bf16 rest
             from .ops.quant import cast_float_leaves, quantize_params
@@ -65,6 +65,16 @@ class Segmenter:
             params = jax.tree.map(
                 lambda x: x.astype(target) if hasattr(x, "astype") else x, params
             )
+        self.mesh = mesh
+        if mesh is not None:
+            # replicate weights, shard the window batch over the "data" axis —
+            # the mesh counterpart of the reference's thread-per-GPU inference
+            # fan-out (reference model.py:169-189)
+            import jax
+
+            from .parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
         self.params = params
         self.config = config
         self.total_spec_columns = config.total_spec_columns
@@ -180,7 +190,12 @@ class Segmenter:
                                      chunk.dtype)]
                 )
             rng, sub = jax.random.split(rng)
-            tokens = fn(self.params, jnp.asarray(chunk), sub,
+            chunk_dev = jnp.asarray(chunk)
+            if self.mesh is not None:
+                from .parallel.mesh import batch_sharding
+
+                chunk_dev = jax.device_put(chunk_dev, batch_sharding(self.mesh))
+            tokens = fn(self.params, chunk_dev, sub,
                         float(length_penalty))
             out += np.asarray(tokens)[:real].tolist()
             if status_monitor is not None:
