@@ -1,0 +1,98 @@
+"""Continuous cross-request batching: correctness and actual batch sharing."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from whisperseg_tpu.models import WhisperConfig, init_params
+from whisperseg_tpu.segmenter import Segmenter
+from whisperseg_tpu.services.batching import BatchingSegmenter
+
+
+def tiny_cfg():
+    cfg = WhisperConfig(
+        d_model=64, encoder_layers=2, decoder_layers=2, num_heads=4, d_ff=128,
+        vocab_size=1024, max_source_positions=50, max_target_positions=32,
+        total_spec_columns=100, compute_dtype="float32",
+    )
+    cfg.cluster_codebook = {"v": 0}
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def pair():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    plain = Segmenter(params, cfg, inference_dtype=None)
+    batched = BatchingSegmenter(params, cfg, inference_dtype=None,
+                                max_batch_size=8, max_wait_ms=20)
+    return plain, batched
+
+
+def test_batched_matches_plain(pair):
+    plain, batched = pair
+    audio = np.random.RandomState(0).randn(24000).astype(np.float32) * 0.1
+    p1 = plain.segment(audio, 16000, spec_time_step=0.01, max_length=16,
+                       num_beams=1, batch_size=8)
+    p2 = batched.segment(audio, 16000, spec_time_step=0.01, max_length=16,
+                         num_beams=1, batch_size=8)
+    assert p1 == p2
+
+
+def test_concurrent_requests_share_batches(pair):
+    plain, batched = pair
+    calls = []
+    orig_fn_cache = batched._segment_fn_cache if hasattr(
+        batched, "_segment_fn_cache") else None
+
+    # wrap the fused fn to record per-call batch sizes
+    fn_key_fn = batched._segment_fn
+
+    def spying_segment_fn(frontend, max_length, num_beams, top_k):
+        fn = fn_key_fn(frontend, max_length, num_beams, top_k)
+
+        def wrapped(params, clips, rng, lp):
+            calls.append(int(clips.shape[0]))
+            return fn(params, clips, rng, lp)
+
+        return wrapped
+
+    batched._segment_fn = spying_segment_fn  # type: ignore
+
+    rng = np.random.RandomState(1)
+    audios = [rng.randn(16000).astype(np.float32) * 0.1 for _ in range(6)]
+    expected = [plain.segment(a, 16000, spec_time_step=0.01, max_length=16,
+                              num_beams=1) for a in audios]
+
+    results = [None] * 6
+
+    def worker(i):
+        results[i] = batched.segment(audios[i], 16000, spec_time_step=0.01,
+                                     max_length=16, num_beams=1)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for got, want in zip(results, expected):
+        assert got == want
+    # 6 concurrent single-window requests must have shared device calls
+    assert len(calls) < 6, calls
+
+
+def test_batched_error_propagates(pair):
+    _, batched = pair
+    with pytest.raises(Exception):
+        # absurd spec_time_step -> hop 0 -> error must reach the caller,
+        # not kill the worker
+        batched.segment(np.zeros(1000, np.float32), 16000, spec_time_step=1e-9)
+    # worker still alive afterwards
+    audio = np.zeros(16000, np.float32)
+    out = batched.segment(audio, 16000, spec_time_step=0.01, max_length=16,
+                          num_beams=1)
+    assert set(out) == {"onset", "offset", "cluster"}

@@ -1,0 +1,139 @@
+"""Continuous cross-request window batching for serving.
+
+The reference serializes HTTP requests with a global semaphore — one request
+owns the model at a time (reference segment_service.py:58-60,110). On TPU the
+decode step cost is dominated by per-iteration latency, so batching windows
+*across concurrent requests* is nearly free throughput: a single worker thread
+drains a queue of window-work items, groups items that share the same
+(frontend, decode-parameter) signature into one fused device call up to
+``max_batch_size`` windows, and distributes the token lists back to the waiting
+requests.
+
+``BatchingSegmenter`` is a drop-in ``Segmenter``: ``segment()`` keeps its exact
+semantics (slicing, parsing, consolidation all happen on the calling thread);
+only the device-facing ``_generate_tokens`` is routed through the shared
+batcher.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..segmenter import Segmenter
+
+
+@dataclass
+class _WorkItem:
+    clips: np.ndarray                      # [n, clip_samples]
+    key: Tuple                             # batching signature
+    frontend: object
+    max_length: int
+    num_beams: int
+    top_k: int
+    length_penalty: float
+    seed: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[List[List[int]]] = None
+    error: Optional[BaseException] = None
+
+
+class BatchingSegmenter(Segmenter):
+    """Segmenter with a continuous cross-request window batcher."""
+
+    def __init__(self, *args, max_batch_size: int = 32,
+                 max_wait_ms: float = 5.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_batch_size = max_batch_size
+        self.max_wait_ms = max_wait_ms
+        self._queue: "queue.Queue[_WorkItem]" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # --------------------------------------------------------------- requests
+
+    def _generate_tokens(self, clips, frontend, batch_size, max_length,
+                         num_beams, top_k, length_penalty, seed,
+                         status_monitor):
+        key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
+               frontend.max_frequency, clips.shape[1], max_length, num_beams,
+               top_k, float(length_penalty))
+        item = _WorkItem(np.asarray(clips, np.float32), key, frontend,
+                         max_length, num_beams, top_k, float(length_penalty),
+                         seed)
+        self._queue.put(item)
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        if status_monitor is not None:
+            status_monitor["progress"] = 100
+        return item.result
+
+    # ----------------------------------------------------------------- worker
+
+    def _collect(self) -> List[_WorkItem]:
+        """One head item, then same-key items until the batch is full or the
+        wait window closes."""
+        head = self._queue.get()
+        group = [head]
+        total = head.clips.shape[0]
+        deadline = self.max_wait_ms / 1000.0
+        while total < self.max_batch_size:
+            try:
+                nxt = self._queue.get(timeout=deadline)
+            except queue.Empty:
+                break
+            if nxt.key != head.key:
+                # different signature: park it back for the next round
+                self._queue.put(nxt)
+                break
+            group.append(nxt)
+            total += nxt.clips.shape[0]
+        return group
+
+    def _run(self):
+        import jax
+        import jax.numpy as jnp
+
+        while True:
+            group = self._collect()
+            head = group[0]
+            try:
+                fn = self._segment_fn(head.frontend, head.max_length,
+                                      head.num_beams, head.top_k)
+                clips = np.concatenate([it.clips for it in group], axis=0)
+                n = clips.shape[0]
+                batch = self.max_batch_size
+                outs: List[List[int]] = []
+                rng = jax.random.PRNGKey(head.seed)
+                for pos in range(0, n, batch):
+                    chunk = clips[pos:pos + batch]
+                    real = chunk.shape[0]
+                    if real < batch:
+                        chunk = np.concatenate(
+                            [chunk, np.zeros((batch - real,) + chunk.shape[1:],
+                                             chunk.dtype)])
+                    rng, sub = jax.random.split(rng)
+                    chunk_dev = jnp.asarray(chunk)
+                    if self.mesh is not None:
+                        from ..parallel.mesh import batch_sharding
+
+                        chunk_dev = jax.device_put(chunk_dev,
+                                                   batch_sharding(self.mesh))
+                    tokens = fn(self.params, chunk_dev, sub,
+                                head.length_penalty)
+                    outs += np.asarray(tokens)[:real].tolist()
+                pos = 0
+                for it in group:
+                    k = it.clips.shape[0]
+                    it.result = outs[pos:pos + k]
+                    pos += k
+                    it.done.set()
+            except BaseException as e:  # propagate to all waiters
+                for it in group:
+                    it.error = e
+                    it.done.set()

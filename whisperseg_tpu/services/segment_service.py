@@ -58,9 +58,13 @@ def adobe_audition_format(prediction: dict) -> dict:
     }
 
 
-def build_app(segmenter, batch_size: int = 8) -> JsonHTTPServer:
+def build_app(segmenter, batch_size: int = 8,
+              serialize: bool = True) -> JsonHTTPServer:
+    """``serialize=False`` admits concurrent requests (use with a
+    BatchingSegmenter, which batches their windows into shared device calls —
+    replacing the reference's global one-request-at-a-time semaphore)."""
     app = JsonHTTPServer()
-    sem = threading.Semaphore()
+    sem = threading.Semaphore(1 if serialize else 1024)
 
     @app.route("/segment", methods=["POST"])
     def segment(req: Request):
@@ -112,10 +116,22 @@ def main(argv=None):
     parser.add_argument("--device", default="tpu", help="accepted for compat")
     parser.add_argument("--device_ids", type=int, nargs="+", default=[0])
     parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--continuous_batching", type=int, default=0,
+                        help="admit concurrent requests and batch their "
+                             "windows into shared device calls")
     args = parser.parse_args(argv)
 
-    segmenter = Segmenter.from_pretrained(args.model_path)
-    app = build_app(segmenter, args.batch_size)
+    if args.continuous_batching:
+        from ..checkpoint import load_checkpoint
+        from .batching import BatchingSegmenter
+
+        params, config = load_checkpoint(args.model_path)
+        segmenter = BatchingSegmenter(params, config,
+                                      max_batch_size=args.batch_size)
+        app = build_app(segmenter, args.batch_size, serialize=False)
+    else:
+        segmenter = Segmenter.from_pretrained(args.model_path)
+        app = build_app(segmenter, args.batch_size)
     print("Waiting for requests...")
     app.serve("0.0.0.0", args.port)
 

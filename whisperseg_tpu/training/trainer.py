@@ -101,10 +101,24 @@ def load_model_any(path_or_name: str, total_spec_columns: int, dropout: float):
 
     if os.path.isdir(path_or_name):
         if os.path.exists(os.path.join(path_or_name, "params.npz")):
+            import jax.numpy as jnp
+
+            from ..models.whisper import sinusoid_position_table
+
             params, cfg = load_checkpoint(path_or_name)
             cfg.dropout = dropout
             cfg.total_spec_columns = total_spec_columns
-            cfg.max_source_positions = total_spec_columns // 2
+            new_positions = total_spec_columns // 2
+            pos = params["encoder"]["pos_emb"]
+            if pos.shape[0] != new_positions:
+                # truncate or sinusoid-extend, mirroring reference model.py:79-84
+                if pos.shape[0] > new_positions:
+                    pos = pos[:new_positions]
+                else:
+                    ext = sinusoid_position_table(new_positions, pos.shape[1])
+                    pos = jnp.asarray(ext).at[: pos.shape[0]].set(pos)
+                params["encoder"]["pos_emb"] = pos
+            cfg.max_source_positions = new_positions
             return params, cfg
         # HF layout
         from ..models.convert_hf import import_hf_checkpoint
