@@ -11,3 +11,20 @@ and autoregressive decoding are expressed with jit/pjit over a device mesh.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "Segmenter":
+        from .segmenter import Segmenter
+
+        return Segmenter
+    if name == "evaluate":
+        from . import evaluate
+
+        return evaluate
+    if name == "load_audio":
+        from .audio.io import load_audio
+
+        return load_audio
+    raise AttributeError(name)
