@@ -175,17 +175,20 @@ def encoder_forward(
     enc = params["encoder"]
     cdt = jnp.dtype(cfg.compute_dtype)
 
+    # Convs run fully in the compute dtype and upcast after: mixing
+    # preferred_element_type=f32 with bf16 conv operands breaks the conv
+    # transpose rule under grad (cotangents arrive f32).
     x = features.astype(cdt)
     dn = ("NCH", "HIO", "NCH")
     x = lax.conv_general_dilated(
         x, enc["conv1_w"].astype(cdt), window_strides=(1,), padding=[(1, 1)],
-        dimension_numbers=dn, preferred_element_type=jnp.float32,
-    ) + enc["conv1_b"][None, :, None]
+        dimension_numbers=dn,
+    ).astype(jnp.float32) + enc["conv1_b"][None, :, None]
     x = jax.nn.gelu(x, approximate=False)
     x = lax.conv_general_dilated(
         x.astype(cdt), enc["conv2_w"].astype(cdt), window_strides=(2,),
-        padding=[(1, 1)], dimension_numbers=dn, preferred_element_type=jnp.float32,
-    ) + enc["conv2_b"][None, :, None]
+        padding=[(1, 1)], dimension_numbers=dn,
+    ).astype(jnp.float32) + enc["conv2_b"][None, :, None]
     x = jax.nn.gelu(x, approximate=False)
     x = x.transpose(0, 2, 1)  # [B, S, D]
 
