@@ -47,6 +47,9 @@ def build_parser():
                    help="tensor-parallel width over the device mesh")
     p.add_argument("--fsdp", type=int, default=0,
                    help="shard parameters over the data axis")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize layer activations in backward "
+                        "(trades FLOPs for HBM; for large models)")
     return p
 
 
@@ -82,6 +85,7 @@ def main(argv=None):
         ignore_cluster=bool(a.ignore_cluster),
         tp=a.tp,
         fsdp=bool(a.fsdp),
+        remat=bool(a.remat),
         project=a.project,
         run_name=a.run_name,
         use_wandb=bool(a.use_wandb),

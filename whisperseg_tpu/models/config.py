@@ -38,6 +38,7 @@ class WhisperConfig:
     max_target_positions: int = 448
     dropout: float = 0.0
     compute_dtype: str = "bfloat16"  # dtype of matmul inputs; params stay float32
+    remat: bool = False  # rematerialize layer activations in backward (memory)
 
     # --- segmentation metadata (persisted with checkpoints) ---
     total_spec_columns: int = DEFAULT_TOTAL_SPEC_COLUMNS
@@ -60,6 +61,7 @@ class WhisperConfig:
             self.d_ff, self.num_mel_bins, self.vocab_size,
             self.max_source_positions, self.max_target_positions,
             self.dropout, self.compute_dtype, self.total_spec_columns,
+            self.remat,
         )
 
     def __hash__(self):

@@ -224,6 +224,10 @@ def encoder_forward(
         x = x + h
         return x, None
 
+    if cfg.remat:
+        # recompute layer activations in backward: memory O(1) in depth
+        # (jax.checkpoint; the TPU trade of HBM for MXU FLOPs)
+        layer_fn = jax.checkpoint(layer_fn)
     if rate > 0.0:
         x, _ = lax.scan(layer_fn, x, (enc["layers"],
                                       jax.random.split(dropout_rng, cfg.encoder_layers)))
@@ -291,6 +295,8 @@ def decoder_forward_train(
         x = x + h
         return x, None
 
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn)
     if rate > 0.0:
         x, _ = lax.scan(layer_fn, x, (dec["layers"], layer_rngs))
     else:

@@ -204,6 +204,24 @@ class Segmenter:
                 )
         return out
 
+    def warmup(self, sr: int, spec_time_step: Optional[float] = None,
+               min_frequency: Optional[float] = None, batch_size: int = 8,
+               max_length: int = 448, num_beams: int = 4, top_k: int = 1):
+        """Pre-compile the fused segment computation for one configuration so
+        the first real request doesn't pay the (minutes-scale on tunneled
+        backends) compile cost. Call at service startup."""
+        if spec_time_step is None:
+            spec_time_step = self.default_segmentation_config.get(
+                "spec_time_step", 0.0025)
+        if min_frequency is None:
+            min_frequency = self.default_segmentation_config.get(
+                "min_frequency", 0)
+        clip_samples = int(self.total_spec_columns * spec_time_step * sr)
+        clips = np.zeros((batch_size, clip_samples), dtype=np.float32)
+        frontend = Frontend(sr, spec_time_step, min_frequency)
+        self._generate_tokens(clips, frontend, batch_size, max_length,
+                              num_beams, top_k, 1.0, 0, None)
+
     # ------------------------------------------------------------------- parsing
 
     def _parse_generation(

@@ -119,6 +119,9 @@ def main(argv=None):
     parser.add_argument("--continuous_batching", type=int, default=0,
                         help="admit concurrent requests and batch their "
                              "windows into shared device calls")
+    parser.add_argument("--warmup", type=int, default=1,
+                        help="pre-compile the model's default configuration "
+                             "at startup (first-request latency)")
     args = parser.parse_args(argv)
 
     if args.continuous_batching:
@@ -132,6 +135,13 @@ def main(argv=None):
     else:
         segmenter = Segmenter.from_pretrained(args.model_path)
         app = build_app(segmenter, args.batch_size)
+    if args.warmup:
+        sr = segmenter.default_segmentation_config.get("sr", 32000)
+        try:
+            print("Warming up (pre-compiling the serving computation) ...")
+            segmenter.warmup(sr, batch_size=args.batch_size)
+        except Exception as e:
+            print(f"warmup skipped: {type(e).__name__}: {e}")
     print("Waiting for requests...")
     app.serve("0.0.0.0", args.port)
 

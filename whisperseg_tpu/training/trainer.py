@@ -87,6 +87,7 @@ class TrainArgs:
     ignore_cluster: bool = False
     tp: int = 1
     fsdp: bool = False
+    remat: bool = False  # rematerialize activations (large models / long clips)
     project: str = "whisperseg-tpu"
     run_name: Optional[str] = None
     use_wandb: bool = False
@@ -220,6 +221,7 @@ def run_training(args: TrainArgs) -> Optional[str]:
 
     params, cfg = load_model_any(args.initial_model_path, args.total_spec_columns,
                                  args.dropout)
+    cfg.remat = args.remat
 
     segmenter = Segmenter(params, cfg)
     if args.clear_cluster_codebook:
