@@ -3,8 +3,25 @@
 from __future__ import annotations
 
 import argparse
+import os
 
-from ..training import TrainArgs, run_training
+
+def _respect_jax_platforms_env():
+    """Honor JAX_PLATFORMS even when a PJRT plugin (axon) force-prepends itself
+    to jax_platforms at import time (see DEVNOTES.md)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+_respect_jax_platforms_env()
+
+from ..training import TrainArgs, run_training  # noqa: E402
 
 
 def build_parser():

@@ -222,6 +222,10 @@ def run_training(args: TrainArgs) -> Optional[str]:
     params, cfg = load_model_any(args.initial_model_path, args.total_spec_columns,
                                  args.dropout)
     cfg.remat = args.remat
+    if args.max_length > cfg.max_target_positions:
+        print(f"Warning: max_length {args.max_length} exceeds the model's "
+              f"max_target_positions {cfg.max_target_positions}; clamping.")
+        args.max_length = cfg.max_target_positions
 
     segmenter = Segmenter(params, cfg)
     if args.clear_cluster_codebook:
@@ -281,7 +285,16 @@ def run_training(args: TrainArgs) -> Optional[str]:
         args.max_num_iterations, args.lr_schedule, args.freeze_encoder,
     )
 
-    mesh = make_mesh(args.n_device, tp=args.tp)
+    # size the data axis to the batch: use the largest divisor of batch_size
+    # that fits the available devices (a 4-example batch on 8 chips runs dp=4)
+    avail = len(jax.devices()) if args.n_device is None else args.n_device
+    dp_max = max(avail // args.tp, 1)
+    dp = next(d for d in range(min(dp_max, args.batch_size), 0, -1)
+              if args.batch_size % d == 0)
+    if dp * args.tp < avail:
+        print(f"Note: using {dp * args.tp}/{avail} devices "
+              f"(dp={dp} divides batch_size={args.batch_size}, tp={args.tp})")
+    mesh = make_mesh(dp * args.tp, tp=args.tp)
     multi_device = int(np.prod(mesh.devices.shape)) > 1
     if multi_device:
         from ..parallel.mesh import batch_sharding
@@ -289,9 +302,6 @@ def run_training(args: TrainArgs) -> Optional[str]:
         params = shard_params(mesh, params, cfg, tp=args.tp > 1, fsdp=args.fsdp)
         opt_state = opt.init(params)  # inherits parameter shardings
         batch_shd = batch_sharding(mesh)
-        assert args.batch_size % mesh.devices.shape[0] == 0, (
-            f"batch_size {args.batch_size} must divide by dp={mesh.devices.shape[0]}"
-        )
     else:
         opt_state = opt.init(params)
     train_step = build_train_step(cfg, opt)
