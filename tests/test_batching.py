@@ -51,8 +51,9 @@ def test_concurrent_requests_share_batches(pair):
     # wrap the fused fn to record per-call batch sizes
     fn_key_fn = batched._segment_fn
 
-    def spying_segment_fn(frontend, max_length, num_beams, top_k):
-        fn = fn_key_fn(frontend, max_length, num_beams, top_k)
+    def spying_segment_fn(frontend, max_length, num_beams, top_k,
+                          constrained=False):
+        fn = fn_key_fn(frontend, max_length, num_beams, top_k, constrained)
 
         def wrapped(params, clips, rng, lp):
             calls.append(int(clips.shape[0]))

@@ -39,7 +39,7 @@ class StubGen:
         seg._generate_tokens = self  # type: ignore
 
     def __call__(self, clips, frontend, batch_size, max_length, num_beams,
-                 top_k, length_penalty, seed, status_monitor):
+                 top_k, length_penalty, seed, status_monitor, **kw):
         assert clips.shape[0] == len(self.window_tokens)
         if status_monitor is not None:
             status_monitor["progress"] = 100

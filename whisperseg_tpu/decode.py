@@ -38,6 +38,57 @@ from .models.whisper import (
 NEG_INF = jnp.float32(-1e30)
 
 
+# ------------------------------------------------------------ grammar constraint
+#
+# The transcript grammar is  species? (ts_open digit+ ts_close)* EOT  with
+# non-decreasing timestamps. Real models occasionally emit malformed spans that
+# the parser then drops (the reference inherits this silently via its regex,
+# reference model.py:191-207); constrained decoding masks invalid tokens at
+# each step so every generated transcript parses. Opt-in: changes outputs only
+# where the unconstrained model would have produced garbage.
+#
+# Decoder state per sequence: mode in {0: start (species|ts|EOT), 1: after
+# ts_open (digits only), 2: in digits (digits | ts >= open), 3: after ts_close
+# (ts >= close | EOT)}, plus the last timestamp column.
+
+_TS0 = tok.TIMESTAMP_BASE
+_TS1 = tok.TIMESTAMP_BASE + tok.NUM_TIMESTAMPS
+
+
+def _grammar_mask(mode, last_col, vocab: int):
+    """mode [B], last_col [B] -> allowed-token bool mask [B, V]."""
+    ids = jnp.arange(vocab)
+    is_digit = (ids >= 0) & (ids < 10)
+    is_ts = (ids >= _TS0) & (ids < _TS1)
+    is_species = (ids >= tok.SPECIES_BASE) & (ids < tok.SPECIES_BASE + 7)
+    is_eot = ids == tok.EOT_ID
+
+    ts_geq = is_ts & (ids[None, :] >= (_TS0 + last_col)[:, None])  # [B, V]
+
+    m0 = (is_species | is_ts | is_eot)[None, :]
+    m1 = is_digit[None, :]
+    m2 = is_digit[None, :] | ts_geq
+    m3 = is_eot[None, :] | ts_geq
+
+    mode = mode[:, None]
+    return jnp.where(
+        mode == 0, m0, jnp.where(mode == 1, m1, jnp.where(mode == 2, m2, m3))
+    )
+
+
+def _grammar_step(mode, last_col, token):
+    """Advance (mode, last_col) given the emitted token [B]."""
+    is_digit = (token >= 0) & (token < 10)
+    is_ts = (token >= _TS0) & (token < _TS1)
+    col = jnp.where(is_ts, token - _TS0, last_col)
+    new_mode = jnp.where(
+        is_ts,
+        jnp.where((mode == 0) | (mode == 3), 1, 3),  # ts opens or closes a span
+        jnp.where(is_digit, 2, mode),                # digits stay in the span
+    )
+    return new_mode, col
+
+
 def _sample_or_argmax(logits, top_k: int, rng):
     """logits [B, V] -> token [B]. top_k == 1 is exact argmax."""
     if top_k <= 1:
@@ -49,7 +100,8 @@ def _sample_or_argmax(logits, top_k: int, rng):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_length", "num_beams", "top_k", "early_exit"),
+    static_argnames=("cfg", "max_length", "num_beams", "top_k", "early_exit",
+                     "constrained"),
 )
 def generate(
     params,
@@ -61,18 +113,21 @@ def generate(
     top_k: int = 1,
     length_penalty: float = 1.0,
     early_exit: bool = True,
+    constrained: bool = False,
 ):
     """Features -> generated token ids [B, max_length] (prompt included, PAD-padded).
 
     ``max_length`` caps the total sequence length including the 3-token prompt,
     mirroring HF ``generate(max_length=...)`` semantics (reference model.py:613).
-    ``early_exit=False`` forces the full token budget (benchmarking)."""
+    ``early_exit=False`` forces the full token budget (benchmarking).
+    ``constrained=True`` masks grammar-invalid tokens per step (greedy/top-k
+    path) so every transcript parses into monotone segments."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     enc_out = encoder_forward(params, cfg, features)
     if num_beams <= 1:
         return _generate_greedy(params, cfg, enc_out, rng, max_length, top_k,
-                                early_exit)
+                                early_exit, constrained)
     return _generate_beam(params, cfg, enc_out, max_length, num_beams,
                           length_penalty, early_exit)
 
@@ -81,10 +136,11 @@ def generate(
 
 
 def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
-                     early_exit: bool = True):
+                     early_exit: bool = True, constrained: bool = False):
     batch = enc_out.shape[0]
     prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None], (batch, 1))
     prompt_len = prompt.shape[1]
+    vocab = cfg.vocab_size
 
     xk, xv = precompute_cross_kv(params, cfg, enc_out)
     ck, cv = init_cache(cfg, batch, max_length)
@@ -92,31 +148,43 @@ def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
     tokens = jnp.full((batch, max_length), tok.PAD_ID, dtype=jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
+    mode = jnp.zeros((batch,), jnp.int32)
+    last_col = jnp.zeros((batch,), jnp.int32)
+
+    def pick(logits, rng_sub, mode, last_col):
+        if constrained:
+            mask = _grammar_mask(mode, last_col, vocab)
+            logits = jnp.where(mask, logits, NEG_INF)
+        nxt = _sample_or_argmax(logits, top_k, rng_sub)
+        mode2, col2 = _grammar_step(mode, last_col, nxt)
+        return nxt, mode2, col2
+
     logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0), ck, cv)
     rng, sub = jax.random.split(rng)
-    next_tok = _sample_or_argmax(logits[:, -1], top_k, sub)
+    next_tok, mode, last_col = pick(logits[:, -1], sub, mode, last_col)
     finished = next_tok == tok.EOT_ID
     tokens = tokens.at[:, prompt_len].set(next_tok)
 
     def cond(state):
-        tokens, pos, ck, cv, finished, rng, cur = state
+        tokens, pos, ck, cv, finished, rng, cur, mode, last_col = state
         if not early_exit:
             return pos + 1 < max_length
         return jnp.logical_and(pos + 1 < max_length, ~jnp.all(finished))
 
     def body(state):
-        tokens, pos, ck, cv, finished, rng, cur = state
+        tokens, pos, ck, cv, finished, rng, cur, mode, last_col = state
         logits, ck, cv = decoder_step(
             params, cfg, xk, xv, cur[:, None], pos, ck, cv
         )
         rng, sub = jax.random.split(rng)
-        nxt = _sample_or_argmax(logits[:, -1], top_k, sub)
+        nxt, mode, last_col = pick(logits[:, -1], sub, mode, last_col)
         nxt = jnp.where(finished, tok.PAD_ID, nxt)
         new_finished = jnp.logical_or(finished, nxt == tok.EOT_ID)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
-        return tokens, pos + 1, ck, cv, new_finished, rng, nxt
+        return tokens, pos + 1, ck, cv, new_finished, rng, nxt, mode, last_col
 
-    state = (tokens, jnp.int32(prompt_len), ck, cv, finished, rng, next_tok)
+    state = (tokens, jnp.int32(prompt_len), ck, cv, finished, rng, next_tok,
+             mode, last_col)
     tokens, *_ = lax.while_loop(cond, body, state)
     return tokens
 

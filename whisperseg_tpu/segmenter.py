@@ -135,7 +135,7 @@ class Segmenter:
     # ---------------------------------------------------------------- generation
 
     def _segment_fn(self, frontend: Frontend, max_length: int, num_beams: int,
-                    top_k: int):
+                    top_k: int, constrained: bool = False):
         """One fused jitted computation: raw audio clips -> log-mel features ->
         autoregressive decode -> token ids. Fusing the frontend into the decode
         call halves host->device round trips per batch (which dominate when the
@@ -145,7 +145,7 @@ class Segmenter:
         from .decode import generate
 
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
-               frontend.max_frequency, max_length, num_beams, top_k)
+               frontend.max_frequency, max_length, num_beams, top_k, constrained)
         cache = self.__dict__.setdefault("_segment_fn_cache", {})
         if key not in cache:
             total = self.total_spec_columns
@@ -155,7 +155,8 @@ class Segmenter:
                 feats = frontend.features_for_clips(clips, total)
                 return generate(params, cfg, feats, rng=rng,
                                 max_length=max_length, num_beams=num_beams,
-                                top_k=top_k, length_penalty=length_penalty)
+                                top_k=top_k, length_penalty=length_penalty,
+                                constrained=constrained)
 
             cache[key] = jax.jit(fn)
         return cache[key]
@@ -171,13 +172,14 @@ class Segmenter:
         length_penalty: float,
         seed: int,
         status_monitor: Optional[dict],
+        constrained: bool = False,
     ) -> List[List[int]]:
         """Run the fused frontend+decode computation over fixed-size batches
         (last batch zero-padded so every call reuses one compiled executable)."""
         import jax
         import jax.numpy as jnp
 
-        fn = self._segment_fn(frontend, max_length, num_beams, top_k)
+        fn = self._segment_fn(frontend, max_length, num_beams, top_k, constrained)
         n = clips.shape[0]
         out: List[List[int]] = []
         rng = jax.random.PRNGKey(seed)
@@ -297,6 +299,7 @@ class Segmenter:
         length_penalty: float = 1.0,
         status_monitor: Optional[dict] = None,
         seed: int = 0,
+        constrained: bool = False,
     ) -> Dict[str, list]:
         """Segment one audio array -> {"onset": [...], "offset": [...], "cluster": [...]}.
 
@@ -324,7 +327,7 @@ class Segmenter:
         frontend = Frontend(sr, spec_time_step, min_frequency)
         token_lists = self._generate_tokens(
             clips, frontend, batch_size, max_length, num_beams, top_k,
-            length_penalty, seed, status_monitor,
+            length_penalty, seed, status_monitor, constrained=constrained,
         )
 
         final = self._parse_generation(

@@ -37,6 +37,7 @@ class _WorkItem:
     top_k: int
     length_penalty: float
     seed: int
+    constrained: bool = False
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[List[int]]] = None
     error: Optional[BaseException] = None
@@ -58,13 +59,13 @@ class BatchingSegmenter(Segmenter):
 
     def _generate_tokens(self, clips, frontend, batch_size, max_length,
                          num_beams, top_k, length_penalty, seed,
-                         status_monitor):
+                         status_monitor, constrained=False):
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
                frontend.max_frequency, clips.shape[1], max_length, num_beams,
-               top_k, float(length_penalty))
+               top_k, float(length_penalty), constrained)
         item = _WorkItem(np.asarray(clips, np.float32), key, frontend,
                          max_length, num_beams, top_k, float(length_penalty),
-                         seed)
+                         seed, constrained)
         self._queue.put(item)
         item.done.wait()
         if item.error is not None:
@@ -104,7 +105,8 @@ class BatchingSegmenter(Segmenter):
             head = group[0]
             try:
                 fn = self._segment_fn(head.frontend, head.max_length,
-                                      head.num_beams, head.top_k)
+                                      head.num_beams, head.top_k,
+                                      head.constrained)
                 clips = np.concatenate([it.clips for it in group], axis=0)
                 n = clips.shape[0]
                 batch = self.max_batch_size
