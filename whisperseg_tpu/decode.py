@@ -101,7 +101,7 @@ def _sample_or_argmax(logits, top_k: int, rng):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_length", "num_beams", "top_k", "early_exit",
-                     "constrained"),
+                     "constrained", "int8_kv"),
 )
 def generate(
     params,
@@ -114,6 +114,7 @@ def generate(
     length_penalty: float = 1.0,
     early_exit: bool = True,
     constrained: bool = False,
+    int8_kv: bool = False,
 ):
     """Features -> generated token ids [B, max_length] (prompt included, PAD-padded).
 
@@ -121,28 +122,32 @@ def generate(
     mirroring HF ``generate(max_length=...)`` semantics (reference model.py:613).
     ``early_exit=False`` forces the full token budget (benchmarking).
     ``constrained=True`` masks grammar-invalid tokens per step (greedy/top-k
-    path) so every transcript parses into monotone segments."""
+    path) so every transcript parses into monotone segments. ``int8_kv=True``
+    stores the cross-attention K/V int8 — currently SLOWER than bf16 because
+    the XLA dequant materializes through HBM (see BENCH.md); it exists as the
+    substrate for a planned Pallas cross-attention kernel with in-VMEM dequant."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     enc_out = encoder_forward(params, cfg, features)
     if num_beams <= 1:
         return _generate_greedy(params, cfg, enc_out, rng, max_length, top_k,
-                                early_exit, constrained)
+                                early_exit, constrained, int8_kv)
     return _generate_beam(params, cfg, enc_out, max_length, num_beams,
-                          length_penalty, early_exit)
+                          length_penalty, early_exit, int8_kv)
 
 
 # ----------------------------------------------------------------- greedy / sample
 
 
 def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
-                     early_exit: bool = True, constrained: bool = False):
+                     early_exit: bool = True, constrained: bool = False,
+                     int8_kv: bool = False):
     batch = enc_out.shape[0]
     prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None], (batch, 1))
     prompt_len = prompt.shape[1]
     vocab = cfg.vocab_size
 
-    xk, xv = precompute_cross_kv(params, cfg, enc_out)
+    xk, xv = precompute_cross_kv(params, cfg, enc_out, int8_kv=int8_kv)
     ck, cv = init_cache(cfg, batch, max_length)
 
     tokens = jnp.full((batch, max_length), tok.PAD_ID, dtype=jnp.int32)
@@ -198,13 +203,14 @@ def _beam_rows(beam_idx, batch: int, k: int):
 
 
 def _generate_beam(params, cfg, enc_out, max_length: int, num_beams: int,
-                   length_penalty: float, early_exit: bool = True):
+                   length_penalty: float, early_exit: bool = True,
+                   int8_kv: bool = False):
     batch, s, d = enc_out.shape
     k = num_beams
 
     # Expand encoder state to B*K rows (beam-major within each batch element).
     enc_rep = jnp.repeat(enc_out, k, axis=0)
-    xk, xv = precompute_cross_kv(params, cfg, enc_rep)
+    xk, xv = precompute_cross_kv(params, cfg, enc_rep, int8_kv=int8_kv)
     ck, cv = init_cache(cfg, batch * k, max_length)
 
     prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None],

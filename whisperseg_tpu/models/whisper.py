@@ -322,8 +322,14 @@ def cross_entropy_loss(logits, labels, ignore_id: int = -100):
 # ------------------------------------------------------------------ cached decoding
 
 
-def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out):
-    """Cross-attention K/V for all decoder layers: ([Ld, B, S, H, hd], same)."""
+def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out,
+                        int8_kv: bool = False):
+    """Cross-attention K/V for all decoder layers: ([Ld, B, S, H, hd], same).
+
+    ``int8_kv=True`` stores K/V as (int8 values, per-position-head f32 scale)
+    tuples — the cross-KV stream is the largest per-decode-step HBM read
+    (batch x 500 positions x d_model x 2 x layers; 5.2 GB at whisper-large
+    batch 32), so halving its bytes matters more than weight quantization."""
     dec = params["decoder"]
     cdt = jnp.dtype(cfg.compute_dtype)
     num_heads = cfg.num_heads
@@ -333,7 +339,18 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out):
         v = _split_heads(_dot(enc_out, lp["xv_w"], cdt) + lp["xv_b"], num_heads)
         return k.astype(cdt), v.astype(cdt)
 
-    return jax.vmap(one_layer)(dec["layers"])
+    k, v = jax.vmap(one_layer)(dec["layers"])
+    if not int8_kv:
+        return k, v
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        values = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                          -127, 127).astype(jnp.int8)
+        return values, scale.astype(jnp.bfloat16)
+
+    return quant(k), quant(v)
 
 
 def init_cache(cfg: WhisperConfig, batch: int, max_len: int):
@@ -376,6 +393,9 @@ def decoder_step(
 
     def layer_fn(x, scanned):
         lp, xk_l, xv_l, ck_l, cv_l = scanned
+        if isinstance(xk_l, tuple):  # int8 KV: dequantize at use
+            xk_l = xk_l[0].astype(cdt) * xk_l[1].astype(cdt)
+            xv_l = xv_l[0].astype(cdt) * xv_l[1].astype(cdt)
         h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
         q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
         k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads).astype(cdt)
