@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_RTF = 4.0  # audio-seconds/sec, CT2 whisper-large on GPU (see BENCH.md)
 
 MODEL_SIZE = os.environ.get("BENCH_MODEL", "large")
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("BENCH_BATCH", "48"))
 MAX_LENGTH = int(os.environ.get("BENCH_MAX_LENGTH", "32"))
 AUDIO_SECONDS = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
 SR = 32000
