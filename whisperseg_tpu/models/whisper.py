@@ -138,16 +138,22 @@ def _split_heads(x, num_heads):
 
 
 def _attention(q, k, v, cdt, mask=None):
-    """q: [B,Lq,H,hd]; k,v: [B,Lk,H,hd]; mask broadcastable to [B,H,Lq,Lk]."""
+    """q: [B,Lq,H,hd]; k,v: [B,Lk,H,hd]; mask broadcastable to [B,H,Lq,Lk].
+
+    In bf16 compute the materialized score/prob tensors stay bf16 (softmax
+    statistics still f32 inside the fusion) — they are the dominant HBM stream
+    for long-sequence attention; f32 compute keeps f32 throughout."""
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
+    cdt = jnp.dtype(cdt)
+    score_dtype = jnp.float32 if cdt == jnp.float32 else jnp.bfloat16
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", (q * scale).astype(cdt), k.astype(cdt),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=score_dtype,
     )
     if mask is not None:
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-    probs = jax.nn.softmax(scores, axis=-1)
+        scores = jnp.where(mask, scores, jnp.asarray(-1e30, score_dtype))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", probs.astype(cdt), v.astype(cdt),
         preferred_element_type=jnp.float32,

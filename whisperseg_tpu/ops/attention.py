@@ -80,17 +80,22 @@ def self_attention(q, k, v, causal: bool = False):
         out = jnp.transpose(out[:, :, :l, :], (0, 2, 1, 3))  # [B, L, H, hd]
         return out.reshape(b, l, h * hd).astype(jnp.float32)
 
-    # XLA path
+    # XLA path. In bf16 compute the materialized score/prob tensors (the
+    # dominant encoder HBM stream: [B, H, S, S] per layer) stay bf16; the
+    # softmax statistics are computed in f32 inside the fused elementwise
+    # chain. f32 compute (CPU tests / HF parity) keeps f32 throughout.
+    bf16_scores = q.dtype == jnp.bfloat16
+    score_dtype = jnp.bfloat16 if bf16_scores else jnp.float32
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", (q * scale).astype(q.dtype), k,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=score_dtype,
     )
     if causal:
         mask = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-    probs = jax.nn.softmax(scores, axis=-1)
+        scores = jnp.where(mask, scores, jnp.asarray(-1e30, score_dtype))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+        "bhqk,bkhd->bqhd", probs, v,
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, l, h * hd)
