@@ -20,8 +20,6 @@ family of algorithm CTranslate2 implements.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from ..constants import DEFAULT_TOTAL_SPEC_COLUMNS, NUM_MEL_BINS
 from ..tokenizer import VOCAB_SIZE

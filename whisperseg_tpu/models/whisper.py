@@ -25,7 +25,7 @@ reference's truncation of it to ``total_spec_columns // 2`` rows
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

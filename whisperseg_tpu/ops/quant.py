@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @jax.tree_util.register_pytree_node_class
@@ -130,8 +129,6 @@ def _qdot_pallas_w8a16(x, qt: "QuantTensor"):
     """Fused dequant-matmul: int8 weights are dequantized to bf16 *in VMEM*,
     so the bf16 weight copy never exists in HBM (XLA materializes it, tripling
     the weight traffic the quantization was supposed to save)."""
-    import functools as _ft
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

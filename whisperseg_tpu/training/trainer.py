@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np
@@ -29,7 +29,6 @@ import numpy as np
 from .. import codec  # noqa: F401  (re-exported for convenience)
 from ..checkpoint import (
     finalize_best_checkpoint,
-    list_checkpoints,
     load_checkpoint,
     save_training_checkpoint,
 )
