@@ -67,13 +67,17 @@ def main():
 
     # One fused jitted computation per batch: clips -> features -> decode
     # (minimizes host->device round trips, which dominate over a tunnel).
+    int8_kv = os.environ.get("BENCH_INT8_KV", "1") == "1"
+
     @jax.jit
     def segment_batch(params, clips):
         feats = frontend.features_for_clips(clips, 1000)
         # early_exit=False: random weights emit EOT unpredictably; force the
         # calibrated per-window token budget so runs are comparable.
+        # int8_kv: Pallas cross-attention kernel with in-VMEM dequant (F1-neutral,
+        # halves the dominant decode-step HBM stream; see BENCH.md).
         return generate(params, cfg, feats, max_length=MAX_LENGTH,
-                        num_beams=1, top_k=1, early_exit=False)
+                        num_beams=1, top_k=1, early_exit=False, int8_kv=int8_kv)
 
     batches = [
         jnp.asarray(rng.randn(BATCH, clip_samples).astype(np.float32) * 0.1)

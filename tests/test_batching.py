@@ -52,8 +52,9 @@ def test_concurrent_requests_share_batches(pair):
     fn_key_fn = batched._segment_fn
 
     def spying_segment_fn(frontend, max_length, num_beams, top_k,
-                          constrained=False):
-        fn = fn_key_fn(frontend, max_length, num_beams, top_k, constrained)
+                          constrained=False, int8_kv=False):
+        fn = fn_key_fn(frontend, max_length, num_beams, top_k, constrained,
+                       int8_kv)
 
         def wrapped(params, clips, rng, lp):
             calls.append(int(clips.shape[0]))

@@ -35,7 +35,10 @@ def test_int8_kv_quantization_accuracy():
         jnp.asarray(np.random.RandomState(0).randn(2, 80, 64), jnp.float32))
     (kq, ks), (vq, vs) = precompute_cross_kv(params, cfg, enc, int8_kv=True)
     k, v = precompute_cross_kv(params, cfg, enc, int8_kv=False)
-    deq = np.asarray(kq, np.float32) * np.asarray(ks, np.float32)
+    l, b, s, h, hd = k.shape
+    # dequantize the packed kernel layout back to [L, B, S, H, hd]
+    deq = (np.asarray(kq, np.float32).reshape(l, b, -1, h, hd)[:, :, :s]
+           * np.asarray(ks, np.float32)[:, :, :s, :h, None])
     err = np.abs(deq - np.asarray(k))
     bound = np.abs(np.asarray(k)).max(axis=-1, keepdims=True) / 127 + 1e-6
     assert (err <= bound + 1e-5).all()

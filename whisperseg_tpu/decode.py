@@ -141,6 +141,7 @@ def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
                      early_exit: bool = True, constrained: bool = False,
                      int8_kv: bool = False):
     batch = enc_out.shape[0]
+    seq_len = enc_out.shape[1]
     prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None], (batch, 1))
     prompt_len = prompt.shape[1]
     vocab = cfg.vocab_size
@@ -162,7 +163,8 @@ def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
         mode2, col2 = _grammar_step(mode, last_col, nxt)
         return nxt, mode2, col2
 
-    logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0), ck, cv)
+    logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0),
+                                  ck, cv, cross_seq_len=seq_len)
     rng, sub = jax.random.split(rng)
     next_tok, mode, last_col = pick(logits[:, -1], sub, mode, last_col)
     finished = next_tok == tok.EOT_ID
@@ -177,7 +179,8 @@ def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
     def body(state):
         tokens, pos, ck, cv, finished, rng, cur, mode, last_col = state
         logits, ck, cv = decoder_step(
-            params, cfg, xk, xv, cur[:, None], pos, ck, cv
+            params, cfg, xk, xv, cur[:, None], pos, ck, cv,
+            cross_seq_len=seq_len,
         )
         rng, sub = jax.random.split(rng)
         nxt, mode, last_col = pick(logits[:, -1], sub, mode, last_col)
@@ -218,7 +221,8 @@ def _generate_beam(params, cfg, enc_out, max_length: int, num_beams: int,
     tokens = jnp.full((batch * k, max_length), tok.PAD_ID, dtype=jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
-    logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0), ck, cv)
+    logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0),
+                                  ck, cv, cross_seq_len=s)
     logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
     logp = logp.reshape(batch, k, -1)[:, 0]  # all beams identical at step 0: [B, V]
 
@@ -241,7 +245,8 @@ def _generate_beam(params, cfg, enc_out, max_length: int, num_beams: int,
 
     def body(state):
         tokens, pos, ck, cv, scores, finished, lengths, cur = state
-        logits, ck, cv = decoder_step(params, cfg, xk, xv, cur[:, None], pos, ck, cv)
+        logits, ck, cv = decoder_step(params, cfg, xk, xv, cur[:, None], pos,
+                                      ck, cv, cross_seq_len=s)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         logp = jnp.where(finished[:, None], pad_only[None, :], logp)  # [B*K, V]
 

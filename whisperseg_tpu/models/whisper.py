@@ -349,14 +349,10 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out,
     if not int8_kv:
         return k, v
 
-    def quant(x):
-        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        values = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
-                          -127, 127).astype(jnp.int8)
-        return values, scale.astype(jnp.bfloat16)
+    from ..ops.cross_attention import quantize_kv_for_kernel
 
-    return quant(k), quant(v)
+    kq, ks, vq, vs, _seq = quantize_kv_for_kernel(k, v, num_heads)
+    return (kq, ks), (vq, vs)
 
 
 def init_cache(cfg: WhisperConfig, batch: int, max_len: int):
@@ -369,12 +365,13 @@ def init_cache(cfg: WhisperConfig, batch: int, max_len: int):
 def decoder_step(
     params: Params,
     cfg: WhisperConfig,
-    cross_k,      # [Ld, B, S, H, hd]
+    cross_k,      # [Ld, B, S, H, hd], or (int8 values, scales) kernel layout
     cross_v,
     input_ids,    # [B, Lc] — chunk of new tokens (prefill: prompt; decode: 1)
     pos0,         # scalar int32: absolute position of input_ids[:, 0]
     cache_k,      # [Ld, B, max_len, H, hd]
     cache_v,
+    cross_seq_len: int = 0,  # valid encoder positions (int8 KV layout only)
 ):
     """Run the decoder over a chunk of new tokens with KV caching.
 
@@ -399,9 +396,6 @@ def decoder_step(
 
     def layer_fn(x, scanned):
         lp, xk_l, xv_l, ck_l, cv_l = scanned
-        if isinstance(xk_l, tuple):  # int8 KV: dequantize at use
-            xk_l = xk_l[0].astype(cdt) * xk_l[1].astype(cdt)
-            xv_l = xv_l[0].astype(cdt) * xv_l[1].astype(cdt)
         h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
         q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
         k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads).astype(cdt)
@@ -412,8 +406,30 @@ def decoder_step(
         x = x + _dot(a, lp["o_w"], cdt) + lp["o_b"]
 
         h = _layer_norm(x, lp["lnx_g"], lp["lnx_b"])
-        q = _split_heads(_dot(h, lp["xq_w"], cdt) + lp["xq_b"], num_heads)
-        a = _attention(q, xk_l, xv_l, cdt)
+        q2d = _dot(h, lp["xq_w"], cdt) + lp["xq_b"]  # [B, Lc, D]
+        if isinstance(xk_l, tuple):  # int8 cross-KV (kernel layout)
+            if lc == 1 and jax.default_backend() == "tpu":
+                from ..ops.cross_attention import cross_attention_int8
+
+                a = cross_attention_int8(
+                    q2d[:, 0, :], xk_l[0], xk_l[1], xv_l[0], xv_l[1],
+                    num_heads, cross_seq_len,
+                )[:, None, :]
+            else:
+                # prefill / CPU fallback: dequantize the packed layout once
+                def deq(vals, scale):
+                    bb, sp, dd = vals.shape
+                    x4 = vals.reshape(bb, sp, num_heads, dd // num_heads)
+                    sc = scale[:, :, :num_heads, None].astype(jnp.float32)
+                    return (x4.astype(jnp.float32) * sc)[:, :cross_seq_len]
+
+                kd = deq(*xk_l).astype(cdt)
+                vd = deq(*xv_l).astype(cdt)
+                q = _split_heads(q2d, num_heads)
+                a = _attention(q, kd, vd, cdt)
+        else:
+            q = _split_heads(q2d, num_heads)
+            a = _attention(q, xk_l, xv_l, cdt)
         x = x + _dot(a, lp["xo_w"], cdt) + lp["xo_b"]
 
         h = _layer_norm(x, lp["ln2_g"], lp["ln2_b"])

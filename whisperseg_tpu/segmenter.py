@@ -135,7 +135,8 @@ class Segmenter:
     # ---------------------------------------------------------------- generation
 
     def _segment_fn(self, frontend: Frontend, max_length: int, num_beams: int,
-                    top_k: int, constrained: bool = False):
+                    top_k: int, constrained: bool = False,
+                    int8_kv: bool = False):
         """One fused jitted computation: raw audio clips -> log-mel features ->
         autoregressive decode -> token ids. Fusing the frontend into the decode
         call halves host->device round trips per batch (which dominate when the
@@ -145,7 +146,8 @@ class Segmenter:
         from .decode import generate
 
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
-               frontend.max_frequency, max_length, num_beams, top_k, constrained)
+               frontend.max_frequency, max_length, num_beams, top_k,
+               constrained, int8_kv)
         cache = self.__dict__.setdefault("_segment_fn_cache", {})
         if key not in cache:
             total = self.total_spec_columns
@@ -156,7 +158,7 @@ class Segmenter:
                 return generate(params, cfg, feats, rng=rng,
                                 max_length=max_length, num_beams=num_beams,
                                 top_k=top_k, length_penalty=length_penalty,
-                                constrained=constrained)
+                                constrained=constrained, int8_kv=int8_kv)
 
             cache[key] = jax.jit(fn)
         return cache[key]
@@ -173,13 +175,15 @@ class Segmenter:
         seed: int,
         status_monitor: Optional[dict],
         constrained: bool = False,
+        int8_kv: bool = False,
     ) -> List[List[int]]:
         """Run the fused frontend+decode computation over fixed-size batches
         (last batch zero-padded so every call reuses one compiled executable)."""
         import jax
         import jax.numpy as jnp
 
-        fn = self._segment_fn(frontend, max_length, num_beams, top_k, constrained)
+        fn = self._segment_fn(frontend, max_length, num_beams, top_k,
+                              constrained, int8_kv)
         n = clips.shape[0]
         out: List[List[int]] = []
         rng = jax.random.PRNGKey(seed)
@@ -300,6 +304,7 @@ class Segmenter:
         status_monitor: Optional[dict] = None,
         seed: int = 0,
         constrained: bool = False,
+        int8_kv: bool = False,
     ) -> Dict[str, list]:
         """Segment one audio array -> {"onset": [...], "offset": [...], "cluster": [...]}.
 
@@ -328,6 +333,7 @@ class Segmenter:
         token_lists = self._generate_tokens(
             clips, frontend, batch_size, max_length, num_beams, top_k,
             length_penalty, seed, status_monitor, constrained=constrained,
+            int8_kv=int8_kv,
         )
 
         final = self._parse_generation(
