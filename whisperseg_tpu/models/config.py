@@ -31,6 +31,7 @@ class WhisperConfig:
     encoder_layers: int = 4
     decoder_layers: int = 4
     num_heads: int = 6
+    num_kv_heads: int = 0  # 0 -> = num_heads (MHA); < num_heads -> GQA
     d_ff: int = 1536
     num_mel_bins: int = NUM_MEL_BINS
     vocab_size: int = VOCAB_SIZE
@@ -52,13 +53,25 @@ class WhisperConfig:
         assert self.d_model % self.num_heads == 0
         return self.d_model // self.num_heads
 
+    @property
+    def kv_heads(self) -> int:
+        """Number of K/V heads (grouped-query attention when < num_heads).
+
+        GQA divides the decode step's dominant HBM stream — the cross-attention
+        K/V (BENCH.md roofline) — by num_heads / kv_heads. Converting an MHA
+        checkpoint: models/gqa.convert_to_gqa (mean-pooled heads, then uptrain).
+        """
+        n = self.num_kv_heads or self.num_heads
+        assert self.num_heads % n == 0
+        return n
+
     # --- hashability for use as a static jit argument ------------------------
     # Only fields that influence traced computation participate; mutable metadata
     # (cluster_codebook, default_segmentation_config, current_step) does not.
     def _arch_key(self):
         return (
             self.d_model, self.encoder_layers, self.decoder_layers, self.num_heads,
-            self.d_ff, self.num_mel_bins, self.vocab_size,
+            self.num_kv_heads, self.d_ff, self.num_mel_bins, self.vocab_size,
             self.max_source_positions, self.max_target_positions,
             self.dropout, self.compute_dtype, self.total_spec_columns,
             self.remat,

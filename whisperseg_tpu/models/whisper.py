@@ -59,12 +59,13 @@ def _dense_init(key, shape, scale=None):
 
 def _layer_params(key, cfg: WhisperConfig, cross_attention: bool) -> Params:
     d, f = cfg.d_model, cfg.d_ff
+    dkv = cfg.kv_heads * cfg.head_dim  # < d under grouped-query attention
     ks = jax.random.split(key, 12)
     p = {
         "ln1_g": jnp.ones((d,)), "ln1_b": jnp.zeros((d,)),
         "q_w": _dense_init(ks[0], (d, d)), "q_b": jnp.zeros((d,)),
-        "k_w": _dense_init(ks[1], (d, d)),
-        "v_w": _dense_init(ks[2], (d, d)), "v_b": jnp.zeros((d,)),
+        "k_w": _dense_init(ks[1], (d, dkv)),
+        "v_w": _dense_init(ks[2], (d, dkv)), "v_b": jnp.zeros((dkv,)),
         "o_w": _dense_init(ks[3], (d, d)), "o_b": jnp.zeros((d,)),
         "ln2_g": jnp.ones((d,)), "ln2_b": jnp.zeros((d,)),
         "fc1_w": _dense_init(ks[4], (d, f)), "fc1_b": jnp.zeros((f,)),
@@ -74,8 +75,8 @@ def _layer_params(key, cfg: WhisperConfig, cross_attention: bool) -> Params:
         p.update({
             "lnx_g": jnp.ones((d,)), "lnx_b": jnp.zeros((d,)),
             "xq_w": _dense_init(ks[6], (d, d)), "xq_b": jnp.zeros((d,)),
-            "xk_w": _dense_init(ks[7], (d, d)),
-            "xv_w": _dense_init(ks[8], (d, d)), "xv_b": jnp.zeros((d,)),
+            "xk_w": _dense_init(ks[7], (d, dkv)),
+            "xv_w": _dense_init(ks[8], (d, dkv)), "xv_b": jnp.zeros((dkv,)),
             "xo_w": _dense_init(ks[9], (d, d)), "xo_b": jnp.zeros((d,)),
         })
     return p
@@ -138,15 +139,37 @@ def _split_heads(x, num_heads):
 
 
 def _attention(q, k, v, cdt, mask=None):
-    """q: [B,Lq,H,hd]; k,v: [B,Lk,H,hd]; mask broadcastable to [B,H,Lq,Lk].
+    """q: [B,Lq,H,hd]; k,v: [B,Lk,Hkv,hd] with H % Hkv == 0 (grouped-query
+    attention when Hkv < H; mask broadcastable to the score shape).
 
     In bf16 compute the materialized score/prob tensors stay bf16 (softmax
     statistics still f32 inside the fusion) — they are the dominant HBM stream
-    for long-sequence attention; f32 compute keeps f32 throughout."""
+    for long-sequence attention; f32 compute keeps f32 throughout. The GQA
+    path keeps K/V un-expanded (grouped einsum) so the smaller K/V is what
+    streams from HBM."""
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
     cdt = jnp.dtype(cdt)
     score_dtype = jnp.float32 if cdt == jnp.float32 else jnp.bfloat16
+    h, hk = q.shape[2], k.shape[2]
+    if h != hk:
+        b, lq = q.shape[:2]
+        g = h // hk
+        q5 = q.reshape(b, lq, hk, g, head_dim)
+        scores = jnp.einsum(
+            "bqkgd,bskd->bkgqs", (q5 * scale).astype(cdt), k.astype(cdt),
+            preferred_element_type=score_dtype,
+        )
+        if mask is not None:
+            # mask comes in as [..., Lq, Lk]; broadcast over (kv-head, group)
+            scores = jnp.where(mask[:, :, None], scores,
+                               jnp.asarray(-1e30, score_dtype))
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum(
+            "bkgqs,bskd->bqkgd", probs.astype(cdt), v.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(b, lq, h * head_dim)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", (q * scale).astype(cdt), k.astype(cdt),
         preferred_element_type=score_dtype,
@@ -203,6 +226,7 @@ def encoder_forward(
 
     rate = cfg.dropout if train else 0.0
     num_heads = cfg.num_heads
+    kv_heads = cfg.kv_heads
 
     def layer_fn(x, scanned):
         if rate > 0.0:
@@ -212,13 +236,16 @@ def encoder_forward(
             lp = scanned
         h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
         q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
-        k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads)
-        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], num_heads)
-        # flash attention on TPU (S x S scores never materialized); XLA elsewhere
-        from ..ops.attention import self_attention
+        k = _split_heads(_dot(h, lp["k_w"], cdt), kv_heads)
+        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], kv_heads)
+        if num_heads == kv_heads:
+            # optional flash kernel on TPU (WS_FLASH=1); XLA einsum otherwise
+            from ..ops.attention import self_attention
 
-        a = _dot(self_attention(q.astype(cdt), k.astype(cdt), v.astype(cdt)),
-                 lp["o_w"], cdt) + lp["o_b"]
+            a = self_attention(q.astype(cdt), k.astype(cdt), v.astype(cdt))
+        else:
+            a = _attention(q, k, v, cdt)
+        a = _dot(a, lp["o_w"], cdt) + lp["o_b"]
         if rate > 0.0:
             a = _dropout(a, rate, rng1)
         x = x + a
@@ -258,6 +285,7 @@ def decoder_forward_train(
     dec = params["decoder"]
     cdt = jnp.dtype(cfg.compute_dtype)
     num_heads = cfg.num_heads
+    kv_heads = cfg.kv_heads
     b, l = input_ids.shape
 
     # residual stream stays f32 regardless of parameter storage dtype
@@ -277,8 +305,8 @@ def decoder_forward_train(
             lp = scanned
         h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
         q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
-        k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads)
-        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], num_heads)
+        k = _split_heads(_dot(h, lp["k_w"], cdt), kv_heads)
+        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], kv_heads)
         a = _dot(_attention(q, k, v, cdt, mask=causal), lp["o_w"], cdt) + lp["o_b"]
         if rate > 0.0:
             a = _dropout(a, rate, rng1)
@@ -286,8 +314,8 @@ def decoder_forward_train(
 
         h = _layer_norm(x, lp["lnx_g"], lp["lnx_b"])
         q = _split_heads(_dot(h, lp["xq_w"], cdt) + lp["xq_b"], num_heads)
-        k = _split_heads(_dot(enc_out, lp["xk_w"], cdt), num_heads)
-        v = _split_heads(_dot(enc_out, lp["xv_w"], cdt) + lp["xv_b"], num_heads)
+        k = _split_heads(_dot(enc_out, lp["xk_w"], cdt), kv_heads)
+        v = _split_heads(_dot(enc_out, lp["xv_w"], cdt) + lp["xv_b"], kv_heads)
         a = _dot(_attention(q, k, v, cdt), lp["xo_w"], cdt) + lp["xo_b"]
         if rate > 0.0:
             a = _dropout(a, rate, rng2)
@@ -338,11 +366,11 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out,
     batch 32), so halving its bytes matters more than weight quantization."""
     dec = params["decoder"]
     cdt = jnp.dtype(cfg.compute_dtype)
-    num_heads = cfg.num_heads
+    kv_heads = cfg.kv_heads
 
     def one_layer(lp):
-        k = _split_heads(_dot(enc_out, lp["xk_w"], cdt), num_heads)
-        v = _split_heads(_dot(enc_out, lp["xv_w"], cdt) + lp["xv_b"], num_heads)
+        k = _split_heads(_dot(enc_out, lp["xk_w"], cdt), kv_heads)
+        v = _split_heads(_dot(enc_out, lp["xv_w"], cdt) + lp["xv_b"], kv_heads)
         return k.astype(cdt), v.astype(cdt)
 
     k, v = jax.vmap(one_layer)(dec["layers"])
@@ -351,14 +379,14 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc_out,
 
     from ..ops.cross_attention import quantize_kv_for_kernel
 
-    kq, ks, vq, vs, _seq = quantize_kv_for_kernel(k, v, num_heads)
+    kq, ks, vq, vs, _seq = quantize_kv_for_kernel(k, v, kv_heads)
     return (kq, ks), (vq, vs)
 
 
 def init_cache(cfg: WhisperConfig, batch: int, max_len: int):
     """Pre-allocated self-attention KV cache [Ld, B, max_len, H, hd] (compute dtype)."""
     cdt = jnp.dtype(cfg.compute_dtype)
-    shape = (cfg.decoder_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    shape = (cfg.decoder_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
     return jnp.zeros(shape, dtype=cdt), jnp.zeros(shape, dtype=cdt)
 
 
@@ -383,6 +411,7 @@ def decoder_step(
     dec = params["decoder"]
     cdt = jnp.dtype(cfg.compute_dtype)
     num_heads = cfg.num_heads
+    kv_heads = cfg.kv_heads
     b, lc = input_ids.shape
     max_len = cache_k.shape[2]
 
@@ -398,8 +427,8 @@ def decoder_step(
         lp, xk_l, xv_l, ck_l, cv_l = scanned
         h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
         q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
-        k = _split_heads(_dot(h, lp["k_w"], cdt), num_heads).astype(cdt)
-        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], num_heads).astype(cdt)
+        k = _split_heads(_dot(h, lp["k_w"], cdt), kv_heads).astype(cdt)
+        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], kv_heads).astype(cdt)
         ck_l = lax.dynamic_update_slice(ck_l, k, (0, pos0, 0, 0))
         cv_l = lax.dynamic_update_slice(cv_l, v, (0, pos0, 0, 0))
         a = _attention(q, ck_l, cv_l, cdt, mask=self_mask)
@@ -408,7 +437,8 @@ def decoder_step(
         h = _layer_norm(x, lp["lnx_g"], lp["lnx_b"])
         q2d = _dot(h, lp["xq_w"], cdt) + lp["xq_b"]  # [B, Lc, D]
         if isinstance(xk_l, tuple):  # int8 cross-KV (kernel layout)
-            if lc == 1 and jax.default_backend() == "tpu":
+            if lc == 1 and num_heads == kv_heads and \
+                    jax.default_backend() == "tpu":
                 from ..ops.cross_attention import cross_attention_int8
 
                 a = cross_attention_int8(
@@ -419,8 +449,8 @@ def decoder_step(
                 # prefill / CPU fallback: dequantize the packed layout once
                 def deq(vals, scale):
                     bb, sp, dd = vals.shape
-                    x4 = vals.reshape(bb, sp, num_heads, dd // num_heads)
-                    sc = scale[:, :, :num_heads, None].astype(jnp.float32)
+                    x4 = vals.reshape(bb, sp, kv_heads, dd // kv_heads)
+                    sc = scale[:, :, :kv_heads, None].astype(jnp.float32)
                     return (x4.astype(jnp.float32) * sc)[:, :cross_seq_len]
 
                 kd = deq(*xk_l).astype(cdt)
