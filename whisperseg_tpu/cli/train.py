@@ -67,6 +67,10 @@ def build_parser():
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize layer activations in backward "
                         "(trades FLOPs for HBM; for large models)")
+    p.add_argument("--gqa_kv_heads", type=int, default=0,
+                   help="convert the initial model to grouped-query attention "
+                        "with this many K/V heads before training (uptraining; "
+                        "shrinks the decode cross-KV stream)")
     return p
 
 
@@ -103,6 +107,7 @@ def main(argv=None):
         tp=a.tp,
         fsdp=bool(a.fsdp),
         remat=bool(a.remat),
+        gqa_kv_heads=a.gqa_kv_heads,
         project=a.project,
         run_name=a.run_name,
         use_wandb=bool(a.use_wandb),

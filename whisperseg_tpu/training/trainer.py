@@ -87,6 +87,7 @@ class TrainArgs:
     tp: int = 1
     fsdp: bool = False
     remat: bool = False  # rematerialize activations (large models / long clips)
+    gqa_kv_heads: int = 0  # convert the initial model to GQA before training
     project: str = "whisperseg-tpu"
     run_name: Optional[str] = None
     use_wandb: bool = False
@@ -221,6 +222,13 @@ def run_training(args: TrainArgs) -> Optional[str]:
     params, cfg = load_model_any(args.initial_model_path, args.total_spec_columns,
                                  args.dropout)
     cfg.remat = args.remat
+    if args.gqa_kv_heads and cfg.kv_heads != args.gqa_kv_heads:
+        # one-flag GQA uptraining: mean-pool the MHA K/V heads, then train
+        from ..models.gqa import convert_to_gqa
+
+        params, cfg = convert_to_gqa(params, cfg, args.gqa_kv_heads)
+        cfg.remat = args.remat
+        print(f"Converted initial model to GQA (kv_heads={args.gqa_kv_heads}).")
     if args.max_length > cfg.max_target_positions:
         print(f"Warning: max_length {args.max_length} exceeds the model's "
               f"max_target_positions {cfg.max_target_positions}; clamping.")
