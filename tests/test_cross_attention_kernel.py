@@ -71,3 +71,24 @@ def test_padding_positions_ignored():
     out2 = np.asarray(cross_attention_int8(
         jnp.asarray(q), kq2[0], ks2[0], vq2[0], vs2[0], h, seq, interpret=True))
     np.testing.assert_allclose(out1, out2, atol=1e-5)
+
+
+def test_kernel_gqa_matches_reference():
+    """GQA: q has G x the kv heads; kernel loops groups over shared K/V."""
+    rng = np.random.RandomState(2)
+    b, s, hkv, g, hd = 2, 96, 2, 2, 64
+    hq = hkv * g
+    q = rng.randn(b, hq * hd).astype(np.float32)
+    k = rng.randn(1, b, s, hkv, hd).astype(np.float32) * 0.5
+    v = rng.randn(1, b, s, hkv, hd).astype(np.float32) * 0.5
+    kq, ks, vq, vs, seq = quantize_kv_for_kernel(jnp.asarray(k), jnp.asarray(v), hkv)
+    out = np.asarray(cross_attention_int8(
+        jnp.asarray(q), kq[0], ks[0], vq[0], vs[0], hkv, seq,
+        num_q_heads=hq, interpret=True))
+
+    # reference: expand kv heads by repeat
+    k_exp = np.repeat(k[0], g, axis=2)
+    v_exp = np.repeat(v[0], g, axis=2)
+    want = reference_attention(q, k_exp, v_exp, hq)
+    denom = np.abs(want).max()
+    assert np.abs(out - want).max() / denom < 0.02

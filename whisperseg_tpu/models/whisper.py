@@ -437,13 +437,23 @@ def decoder_step(
         h = _layer_norm(x, lp["lnx_g"], lp["lnx_b"])
         q2d = _dot(h, lp["xq_w"], cdt) + lp["xq_b"]  # [B, Lc, D]
         if isinstance(xk_l, tuple):  # int8 cross-KV (kernel layout)
+            # Policy (measured, BENCH.md): the kernel wins when the KV stream
+            # is large (MHA: +7-11%); under GQA the stream is already small
+            # and per-call overhead dominates (206 vs 268 audio-s/s at GQA-4),
+            # so grouped models should simply use bf16 KV (int8_kv=False).
+            # kv_heads * head_dim >= 256: a measured Mosaic fault on this
+            # TPU faults the worker at exactly Dkv=128 MHA (GQA at the same
+            # width is fine); no Whisper model is that narrow (tiny = 6
+            # heads), so fall back to the XLA dequant path there.
+            head_dim_l = q2d.shape[-1] // num_heads
             if lc == 1 and num_heads == kv_heads and \
+                    kv_heads * head_dim_l >= 256 and \
                     jax.default_backend() == "tpu":
                 from ..ops.cross_attention import cross_attention_int8
 
                 a = cross_attention_int8(
                     q2d[:, 0, :], xk_l[0], xk_l[1], xv_l[0], xv_l[1],
-                    num_heads, cross_seq_len,
+                    kv_heads, cross_seq_len, num_q_heads=num_heads,
                 )[:, None, :]
             else:
                 # prefill / CPU fallback: dequantize the packed layout once
