@@ -12,9 +12,12 @@ Covered generation knobs (matching the reference's surface):
   * ``top_k``      — sampling when ``num_beams == 1`` (``do_sample = num_beams == 1``
     with default ``top_k = 1`` == greedy; reference model.py:615-616)
 
-Beam search uses the standard static formulation (finished beams are frozen and
-padded; final hypothesis = argmax of score / length**length_penalty), the same
-family of algorithm CTranslate2 implements.
+Beam search uses the standard static banked formulation (flax/T5X family, the
+same algorithm class CTranslate2 implements): each step takes the top-2K
+candidates, finished (EOT) candidates move to a per-sequence bank of K best
+hypotheses by ``score / length**length_penalty``, and all K live slots keep
+exploring unfinished continuations. The final hypothesis is the best of the
+bank and the (length-penalized) live set.
 """
 
 from __future__ import annotations
@@ -121,9 +124,9 @@ def generate(
     ``early_exit=False`` forces the full token budget (benchmarking).
     ``constrained=True`` masks grammar-invalid tokens per step (greedy/top-k
     path) so every transcript parses into monotone segments. ``int8_kv=True``
-    stores the cross-attention K/V int8 — currently SLOWER than bf16 because
-    the XLA dequant materializes through HBM (see BENCH.md); it exists as the
-    substrate for a planned Pallas cross-attention kernel with in-VMEM dequant."""
+    stores the cross-attention K/V int8 and decodes through the Pallas
+    in-VMEM-dequant kernel (``ops/cross_attention.py``) — measured faster than
+    bf16 KV for MHA models, a wash under GQA (see BENCH.md)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     enc_out = encoder_forward(params, cfg, features)
@@ -203,11 +206,44 @@ def _beam_rows(beam_idx, batch: int, k: int):
     return (beam_idx + jnp.arange(batch)[:, None] * k).reshape(-1)
 
 
+def _beam_candidates(total, k: int, vocab: int):
+    """total [B, P*V] summed log-probs -> top-2K (scores, parent, token).
+
+    2K candidates guarantee >= K non-EOT continuations (each of the <= K
+    parents contributes at most one EOT candidate), so the live set never
+    starves while EOT candidates are moved to the finished bank."""
+    scores, flat = lax.top_k(total, 2 * k)
+    return scores, flat // vocab, (flat % vocab).astype(jnp.int32)
+
+
+def _bank_merge(bank_scores, bank_tokens, cand_scores, cand_tokens):
+    """Keep the K best of (existing bank ∪ new candidates) per sequence.
+
+    bank_scores [B, K], bank_tokens [B, K, L], cand_scores [B, C],
+    cand_tokens [B, C, L]; scores are already length-penalized. Returns the
+    updated ([B, K], [B, K, L]) bank."""
+    k = bank_scores.shape[1]
+    all_scores = jnp.concatenate([bank_scores, cand_scores], axis=1)
+    all_tokens = jnp.concatenate([bank_tokens, cand_tokens], axis=1)
+    new_scores, idx = lax.top_k(all_scores, k)
+    new_tokens = jnp.take_along_axis(all_tokens, idx[:, :, None], axis=1)
+    return new_scores, new_tokens
+
+
 def _generate_beam(params, cfg, enc_out, max_length: int, num_beams: int,
                    length_penalty: float, early_exit: bool = True,
                    int8_kv: bool = False):
+    """Banked beam search: finished hypotheses leave the live set.
+
+    Matches the algorithm family of the reference's engines (HF ``generate``
+    beam hypotheses / CT2 ``beam_size``): every step the top-2K candidates are
+    split — EOT candidates are banked by length-penalized score, the best K
+    unfinished candidates keep decoding — so a beam that finishes early frees
+    its slot for further exploration instead of freezing it."""
     batch, s, d = enc_out.shape
     k = num_beams
+    lp_pow = jnp.float32(length_penalty)
+    vocab = cfg.vocab_size
 
     # Expand encoder state to B*K rows (beam-major within each batch element).
     enc_rep = jnp.repeat(enc_out, k, axis=0)
@@ -224,58 +260,86 @@ def _generate_beam(params, cfg, enc_out, max_length: int, num_beams: int,
     logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0),
                                   ck, cv, cross_seq_len=s)
     logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
-    logp = logp.reshape(batch, k, -1)[:, 0]  # all beams identical at step 0: [B, V]
+    logp0 = logp.reshape(batch, k, -1)[:, 0]  # beams identical at step 0: [B, V]
 
-    # Seed the beams with the top-k first tokens.
-    scores, first_tok = lax.top_k(logp, k)            # [B, K]
-    first_tok = first_tok.astype(jnp.int32)
-    tokens = tokens.at[:, prompt_len].set(first_tok.reshape(-1))
-    finished = (first_tok == tok.EOT_ID).reshape(-1)  # [B*K]
-    lengths = jnp.ones((batch * k,), dtype=jnp.int32)  # generated tokens per beam
+    # Seed step: one virtual parent; split top-2K into bank and live.
+    c_scores, _, c_tok = _beam_candidates(logp0, k, vocab)  # [B, 2K]
+    is_eot = c_tok == tok.EOT_ID
+    base = tokens.reshape(batch, k, max_length)[:, :1]  # identical prompt rows
+    cand_tokens = jnp.broadcast_to(base, (batch, 2 * k, max_length))
+    cand_tokens = cand_tokens.at[:, :, prompt_len].set(c_tok)
+    bank_scores, bank_tokens = _bank_merge(
+        jnp.full((batch, k), NEG_INF),
+        jnp.full((batch, k, max_length), tok.PAD_ID, dtype=jnp.int32),
+        jnp.where(is_eot, c_scores, NEG_INF), cand_tokens)  # len 1: 1**p == 1
 
-    vocab = cfg.vocab_size
-    # Finished beams may only "emit" PAD at zero cost.
-    pad_only = jnp.full((vocab,), NEG_INF).at[tok.PAD_ID].set(0.0)
+    live_scores, lv_idx = lax.top_k(jnp.where(is_eot, NEG_INF, c_scores), k)
+    lv_tok = jnp.take_along_axis(c_tok, lv_idx, axis=1)     # [B, K]
+    tokens = tokens.at[:, prompt_len].set(lv_tok.reshape(-1))
+    lengths = jnp.ones((batch, k), dtype=jnp.int32)  # generated tokens per beam
 
     def cond(state):
-        tokens, pos, ck, cv, scores, finished, lengths, cur = state
+        (tokens, pos, ck, cv, live_scores, lengths, cur,
+         bank_scores, bank_tokens) = state
         if not early_exit:
             return pos + 1 < max_length
-        return jnp.logical_and(pos + 1 < max_length, ~jnp.all(finished))
+        # A sequence is done when no live beam's current-length-normalized
+        # score can still beat its worst banked hypothesis (HF's default
+        # ``early_stopping=False`` heuristic; the bank must be full first
+        # since empty slots sit at NEG_INF).
+        best_live = jnp.max(
+            live_scores / lengths.astype(jnp.float32) ** lp_pow, axis=1)
+        worst_bank = jnp.min(bank_scores, axis=1)
+        return jnp.logical_and(pos + 1 < max_length,
+                               jnp.any(best_live > worst_bank))
 
     def body(state):
-        tokens, pos, ck, cv, scores, finished, lengths, cur = state
+        (tokens, pos, ck, cv, live_scores, lengths, cur,
+         bank_scores, bank_tokens) = state
         logits, ck, cv = decoder_step(params, cfg, xk, xv, cur[:, None], pos,
                                       ck, cv, cross_seq_len=s)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
-        logp = jnp.where(finished[:, None], pad_only[None, :], logp)  # [B*K, V]
+        total = live_scores.reshape(-1, 1) + logp             # [B*K, V]
+        c_scores, c_parent, c_tok = _beam_candidates(
+            total.reshape(batch, k * vocab), k, vocab)        # [B, 2K]
+        is_eot = c_tok == tok.EOT_ID
 
-        total = scores.reshape(-1, 1) + logp                  # [B*K, V]
-        total = total.reshape(batch, k * vocab)
-        new_scores, flat_idx = lax.top_k(total, k)            # [B, K]
-        beam_idx = flat_idx // vocab                          # [B, K]
-        tok_idx = (flat_idx % vocab).astype(jnp.int32)        # [B, K]
+        # Bank the EOT candidates at their length-penalized score.
+        cand_len = jnp.take_along_axis(lengths, c_parent, axis=1) + 1
+        cand_pen = c_scores / cand_len.astype(jnp.float32) ** lp_pow
+        parent_rows = _beam_rows(c_parent, batch, k)          # [B*2K]
+        cand_tokens = jnp.take(tokens, parent_rows, axis=0).reshape(
+            batch, 2 * k, max_length)
+        cand_tokens = lax.dynamic_update_slice(
+            cand_tokens, c_tok[:, :, None], (0, 0, pos + 1))
+        bank_scores, bank_tokens = _bank_merge(
+            bank_scores, bank_tokens,
+            jnp.where(is_eot, cand_pen, NEG_INF), cand_tokens)
 
-        rows = _beam_rows(beam_idx, batch, k)
+        # Continue with the K best unfinished candidates.
+        live_scores, lv_idx = lax.top_k(jnp.where(is_eot, NEG_INF, c_scores), k)
+        lv_parent = jnp.take_along_axis(c_parent, lv_idx, axis=1)
+        lv_tok = jnp.take_along_axis(c_tok, lv_idx, axis=1)
+        rows = _beam_rows(lv_parent, batch, k)
         tokens = jnp.take(tokens, rows, axis=0)
-        finished = jnp.take(finished, rows, axis=0)
-        lengths = jnp.take(lengths, rows, axis=0)
         ck = jnp.take(ck, rows, axis=1)
         cv = jnp.take(cv, rows, axis=1)
-        nxt = tok_idx.reshape(-1)
-        nxt = jnp.where(finished, tok.PAD_ID, nxt)
-        new_finished = jnp.logical_or(finished, nxt == tok.EOT_ID)
-        lengths = jnp.where(finished, lengths, lengths + 1)
+        lengths = jnp.take_along_axis(lengths, lv_parent, axis=1) + 1
+        nxt = lv_tok.reshape(-1)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
-        return tokens, pos + 1, ck, cv, new_scores.reshape(-1), new_finished, \
-            lengths, nxt
+        return (tokens, pos + 1, ck, cv, live_scores, lengths, nxt,
+                bank_scores, bank_tokens)
 
-    state = (tokens, jnp.int32(prompt_len), ck, cv, scores.reshape(-1),
-             finished, lengths, first_tok.reshape(-1))
-    tokens, _, _, _, scores, finished, lengths, _ = lax.while_loop(cond, body, state)
+    state = (tokens, jnp.int32(prompt_len), ck, cv, live_scores, lengths,
+             lv_tok.reshape(-1), bank_scores, bank_tokens)
+    (tokens, _, _, _, live_scores, lengths, _,
+     bank_scores, bank_tokens) = lax.while_loop(cond, body, state)
 
-    # Final hypothesis: argmax of length-penalized score per batch element.
-    norm = scores / (lengths.astype(jnp.float32) ** jnp.float32(length_penalty))
-    best = jnp.argmax(norm.reshape(batch, k), axis=-1)  # [B]
-    rows = best + jnp.arange(batch) * k
-    return jnp.take(tokens, rows, axis=0)
+    # Best of bank ∪ live (live covers budget exhaustion before K finishes).
+    live_pen = live_scores / lengths.astype(jnp.float32) ** lp_pow
+    all_scores = jnp.concatenate([bank_scores, live_pen], axis=1)
+    all_tokens = jnp.concatenate(
+        [bank_tokens, tokens.reshape(batch, k, max_length)], axis=1)
+    best = jnp.argmax(all_scores, axis=1)                     # [B]
+    return jnp.take_along_axis(
+        all_tokens, best[:, None, None], axis=1)[:, 0]
