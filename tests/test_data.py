@@ -233,3 +233,44 @@ def test_dataloader_batching():
     loader2 = DataLoader(ds, batch_size=2, drop_last=False)
     assert len(loader2) == 3
     assert list(loader2)[-1]["input_features"].shape[0] == 1
+
+def test_dataloader_buckets_by_frontend_key():
+    """Mixed-config datasets: full batches must be single-frontend (one device
+    program per batch); leftovers may mix; nothing is lost."""
+    np.random.seed(0)
+    audios, labels = [], []
+    for i in range(6):
+        labels.append(_label(sr=16000))
+        audios.append(np.zeros(16000, np.float32))
+    for i in range(5):
+        lab = _label(sr=16000)
+        lab["spec_time_step"] = 0.02  # different frontend bucket
+        labels.append(lab)
+        audios.append(np.zeros(16000, np.float32))
+    ds = VocalSegDataset(audios, labels, max_length=10, total_spec_columns=100)
+    loader = DataLoader(ds, batch_size=4, drop_last=False, num_workers=2)
+    batch_idx_lists = loader._batch_indices()
+    assert sum(len(b) for b in batch_idx_lists) == 11
+    keys_per_batch = [
+        {(labels[i]["sr"], labels[i]["spec_time_step"],
+          labels[i].get("min_frequency", 0)) for i in b}
+        for b in batch_idx_lists
+    ]
+    full = [ks for b, ks in zip(batch_idx_lists, keys_per_batch) if len(b) == 4]
+    # 6 and 5 items -> one full batch per bucket, each single-key
+    assert sum(len(ks) == 1 for ks in full) >= 2
+    # iterating produces correctly shaped batches and covers every sample
+    seen = 0
+    for batch in loader:
+        assert batch["input_features"].shape[1:] == (80, 100)
+        seen += batch["input_features"].shape[0]
+    assert seen == 11
+
+
+def test_dataloader_multiworker_matches_len():
+    np.random.seed(0)
+    audios = [np.zeros(16000, np.float32) for _ in range(9)]
+    labels = [_label() for _ in range(9)]
+    ds = VocalSegDataset(audios, labels, max_length=10, total_spec_columns=100)
+    loader = DataLoader(ds, batch_size=2, drop_last=True, num_workers=4)
+    assert len(list(loader)) == len(loader) == 4

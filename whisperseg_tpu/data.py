@@ -349,16 +349,55 @@ class VocalSegDataset:
 
 
 class DataLoader:
-    """Shuffled, optionally drop-last batch iterator with background prefetch."""
+    """Shuffled, optionally drop-last batch iterator with background prefetch.
+
+    ``num_workers`` threads load items concurrently (random-crop + target
+    encoding are numpy work that releases the GIL in its hot ops); a single
+    producer assembles batches in order so epochs stay reproducible under a
+    seeded ``np.random``. When the dataset mixes frontend configurations
+    (sr / spec_time_step / min_frequency), batches are bucketed by config so
+    each batch runs ONE device frontend program instead of one per group
+    (matching the reference's per-dataset homogeneity assumption,
+    datautils.py:304-390, while staying correct for mixed folders)."""
 
     def __init__(self, dataset: VocalSegDataset, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
+
+    def _batch_indices(self):
+        """Per-epoch batch index lists, bucketed by frontend key."""
+        by_key: Dict[Tuple, List[int]] = {}
+        for i, label in enumerate(self.dataset.label_list):
+            key = (label["sr"], label["spec_time_step"],
+                   label.get("min_frequency", 0))
+            by_key.setdefault(key, []).append(i)
+        batches: List[np.ndarray] = []
+        leftovers: List[int] = []
+        for idxs in by_key.values():
+            order = np.asarray(idxs)
+            if self.shuffle:
+                np.random.shuffle(order)
+            full = len(order) // self.batch_size * self.batch_size
+            batches.extend(np.split(order[:full], full // self.batch_size)
+                           if full else [])
+            leftovers.extend(order[full:].tolist())
+        # Leftovers from different buckets form (possibly mixed) tail batches
+        # so no sample is silently dropped beyond drop_last semantics.
+        for b in range(0, len(leftovers), self.batch_size):
+            tail = np.asarray(leftovers[b:b + self.batch_size])
+            if len(tail) == self.batch_size or not self.drop_last:
+                batches.append(tail)
+        if self.shuffle:
+            np.random.shuffle(batches)
+        # a short remainder batch always comes last (torch DataLoader contract)
+        batches.sort(key=lambda x: len(x) < self.batch_size)
+        return batches
 
     def __len__(self):
         n = len(self.dataset)
@@ -366,18 +405,22 @@ class DataLoader:
 
     def __iter__(self):
         import queue
+        from concurrent.futures import ThreadPoolExecutor
 
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.shuffle(order)
-        nb = len(self)
+        batches = self._batch_indices()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
         def producer():
-            for b in range(nb):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                items = [self.dataset[int(i)] for i in idxs]
-                q.put(self.dataset.collate(items))
+            if self.num_workers > 1:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              [int(i) for i in idxs]))
+                        q.put(self.dataset.collate(items))
+            else:
+                for idxs in batches:
+                    items = [self.dataset[int(i)] for i in idxs]
+                    q.put(self.dataset.collate(items))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -81,7 +81,7 @@ class TrainArgs:
     warmup_steps: int = 100
     freeze_encoder: bool = False
     dropout: float = 0.0
-    num_workers: int = 4  # accepted for CLI compat; loader uses one prefetch thread
+    num_workers: int = 4  # parallel item-loading threads in the DataLoader
     clear_cluster_codebook: bool = True
     ignore_cluster: bool = False
     tp: int = 1
@@ -269,9 +269,11 @@ def run_training(args: TrainArgs) -> Optional[str]:
 
     dataset = VocalSegDataset(audio_list, label_list, args.max_length,
                               args.total_spec_columns)
-    loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True)
+    loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True,
+                        num_workers=args.num_workers)
     if len(loader) == 0:
-        loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=False)
+        loader = DataLoader(dataset, args.batch_size, shuffle=True,
+                            drop_last=False, num_workers=args.num_workers)
     if len(loader) == 0:
         raise RuntimeError("Too few examples (less than a batch) for training!")
 
