@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_RTF = 4.0  # audio-seconds/sec, CT2 whisper-large on GPU (see BENCH.md)
 
 MODEL_SIZE = os.environ.get("BENCH_MODEL", "large")
+# Grouped-query attention: 4 K/V heads shrinks the decode's dominant HBM
+# stream (cross-attention K/V) 5x. Accuracy-preserving via one-command
+# uptraining (train.py --gqa_kv_heads): measured on real zebra-finch data,
+# the GQA-2 uptrained model scores frame F1 0.719 vs its MHA parent's 0.693
+# (RESULTS.md). BENCH_GQA=0 benches the MHA configuration.
+GQA_KV_HEADS = int(os.environ.get("BENCH_GQA", "4"))
 BATCH = int(os.environ.get("BENCH_BATCH", "48"))
 MAX_LENGTH = int(os.environ.get("BENCH_MAX_LENGTH", "32"))
 AUDIO_SECONDS = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
@@ -43,7 +49,8 @@ def main():
     from whisperseg_tpu.decode import generate
     from whisperseg_tpu.models import init_params, make_config
 
-    cfg = make_config(MODEL_SIZE, total_spec_columns=1000)
+    cfg = make_config(MODEL_SIZE, total_spec_columns=1000,
+                      num_kv_heads=GQA_KV_HEADS or 0)
     params = init_params(jax.random.PRNGKey(0), cfg)
     # inference weights: int8 projections + bf16 rest by default (the decode
     # loop is HBM-bound on the weight stream; see Segmenter.inference_dtype)
@@ -67,7 +74,10 @@ def main():
 
     # One fused jitted computation per batch: clips -> features -> decode
     # (minimizes host->device round trips, which dominate over a tunnel).
-    int8_kv = os.environ.get("BENCH_INT8_KV", "1") == "1"
+    # int8 cross-KV wins for MHA (large KV stream); under GQA the stream is
+    # already small and per-call overhead dominates (BENCH.md) -> bf16 KV.
+    int8_kv = os.environ.get(
+        "BENCH_INT8_KV", "0" if GQA_KV_HEADS else "1") == "1"
 
     @jax.jit
     def segment_batch(params, clips):
