@@ -238,13 +238,11 @@ def encoder_forward(
         q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
         k = _split_heads(_dot(h, lp["k_w"], cdt), kv_heads)
         v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], kv_heads)
-        if num_heads == kv_heads:
-            # optional flash kernel on TPU (WS_FLASH=1); XLA einsum otherwise
-            from ..ops.attention import self_attention
+        # fused single-block Pallas attention on TPU (MHA and GQA); XLA
+        # einsum elsewhere — see ops/attention.py for the dispatch rules
+        from ..ops.attention import self_attention
 
-            a = self_attention(q.astype(cdt), k.astype(cdt), v.astype(cdt))
-        else:
-            a = _attention(q, k, v, cdt)
+        a = self_attention(q.astype(cdt), k.astype(cdt), v.astype(cdt))
         a = _dot(a, lp["o_w"], cdt) + lp["o_b"]
         if rate > 0.0:
             a = _dropout(a, rate, rng1)

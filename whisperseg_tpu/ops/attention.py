@@ -29,6 +29,106 @@ def _flash():
     return fa
 
 
+def fused_available(seq_len: int, head_dim: int, causal: bool) -> bool:
+    """Single-block fused attention (below): default on TPU for the encoder
+    geometry. Whisper's S <= ~512 means a whole [S, S] score tile fits in
+    VMEM, so one program per (batch, head) fuses QK^T + softmax + PV with no
+    HBM materialization — the stock flash kernel's streaming machinery only
+    added overhead here (285 vs 430 ms, BENCH.md). WS_FUSED_ATTN=0 disables."""
+    import os
+
+    return (
+        os.environ.get("WS_FUSED_ATTN", "1") == "1"
+        and not causal
+        and jax.default_backend() == "tpu"
+        and seq_len <= 1024  # [Sp, Sp] f32 scores stay < 4 MB of VMEM
+        and head_dim in (64, 128)
+    )
+
+
+def fused_encoder_attention(q, k, v, interpret: bool = False):
+    """Non-causal self-attention, one fused kernel, no HBM score tensor.
+
+    q: [B, S, H, hd]; k, v: [B, S, Hkv, hd] with H % Hkv == 0 (GQA when
+    Hkv < H). Returns [B, S, H*hd] float32.
+
+    Grid: (batch, kv-head chunks). Chunk sizing balances two measured
+    failure modes at whisper-large batch 48: one step per (batch, head) is
+    overhead-bound (960 ~4 us steps, 0.94x vs XLA), one step per batch item
+    overflows the 16 MB scoped VMEM. A chunk of ~4-8 query heads per step
+    (whole kv groups, so K/V tiles are loaded once and reused) measured
+    1.20x vs the XLA einsum. The softmax division is folded into the [Sp,
+    hd] output (one fewer [Sp, Sp] pass); the remaining cost is the VPU exp
+    floor, which every formulation pays.
+
+    Returns [B, S, H*hd] in q's dtype (callers cast into the output
+    projection anyway; a f32 output would double the out stream)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, h, hd = q.shape
+    hkv = k.shape[2]
+    g = h // hkv
+    sp = _round_up(s, 128)
+    scale = hd ** -0.5
+    # kv groups per grid step: the largest divisor of Hkv keeping the
+    # unrolled q-head loop (and its [Sp, Sp] f32 temporaries) inside VMEM
+    gc = max(d for d in range(1, hkv + 1) if hkv % d == 0 and d * g <= 8)
+    hc = gc * g  # query heads per grid step
+
+    # Head-major rows per batch item: q [B, H*Sp, hd]; K pre-transposed to
+    # [B, Hkv*hd, Sp] so the kernel's dots are plain (m, k) @ (k, n) MXU ops.
+    qt = jnp.transpose(q, (0, 2, 1, 3))                    # [B, H, S, hd]
+    kt = jnp.transpose(k, (0, 2, 3, 1))                    # [B, Hkv, hd, S]
+    vt = jnp.transpose(v, (0, 2, 1, 3))                    # [B, Hkv, S, hd]
+    if sp != s:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, sp - s)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
+    qt = qt.reshape(b, h * sp, hd)
+    kt = kt.reshape(b, hkv * hd, sp)
+    vt = vt.reshape(b, hkv * sp, hd)
+
+    def kernel(q_ref, kt_ref, v_ref, o_ref):
+        f32 = jnp.float32
+        col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+        for hh in range(hc):  # static unroll; K/V tiles reused per group
+            kv = hh // g
+            kth = kt_ref[0, kv * hd:(kv + 1) * hd, :]      # [hd, Sp]
+            vh = v_ref[0, kv * sp:(kv + 1) * sp, :]        # [Sp, hd]
+            qh = q_ref[0, hh * sp:(hh + 1) * sp, :]        # [Sp, hd]
+            scores = jax.lax.dot_general(
+                qh, kth, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32) * f32(scale)   # [Sp, Sp]
+            scores = jnp.where(col < s, scores, f32(-1e30))  # mask padded keys
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m).astype(q_ref.dtype)
+            l = jnp.sum(p.astype(f32), axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                # [Sp, hd]
+            o_ref[0, hh * sp:(hh + 1) * sp, :] = (o / l).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hkv // gc),
+        in_specs=[
+            pl.BlockSpec((1, hc * sp, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gc * hd, sp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gc * sp, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hc * sp, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h * sp, hd), q.dtype),
+        interpret=interpret,
+    )(qt, kt, vt)
+    out = out.reshape(b, h, sp, hd)[:, :, :s].transpose(0, 2, 1, 3)
+    return out.reshape(b, s, h * hd)
+
+
 def flash_available(seq_len: int, head_dim: int) -> bool:
     """Opt-in (WS_FLASH=1): at whisper geometry (S=500, hd=64) the XLA einsum
     attention measured FASTER than the flash kernel on v5e (285 vs 430 ms for
@@ -45,13 +145,33 @@ def flash_available(seq_len: int, head_dim: int) -> bool:
 
 
 def self_attention(q, k, v, causal: bool = False):
-    """q, k, v: [B, L, H, hd] (unscaled q) -> [B, L, H*hd] float32.
+    """q: [B, L, H, hd] (unscaled); k, v: [B, L, Hkv, hd] (GQA when Hkv < H)
+    -> [B, L, H*hd] (q's dtype on the fused path, float32 otherwise).
 
-    Uses the flash kernel on TPU; the XLA einsum path elsewhere. Softmax runs
-    in f32 in both paths.
-    """
+    Dispatch: the fused single-block kernel on TPU (default), the stock flash
+    kernel under WS_FLASH=1 (MHA only), the XLA einsum path elsewhere.
+    Softmax runs in f32 in all paths."""
     b, l, h, hd = q.shape
+    hkv = k.shape[2]
     scale = hd ** -0.5
+
+    if fused_available(l, hd, causal):
+        return fused_encoder_attention(q, k, v)
+
+    if h != hkv:
+        # grouped XLA path: keep K/V un-expanded so the smaller K/V streams
+        g = h // hkv
+        score_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+        q5 = q.reshape(b, l, hkv, g, hd)
+        scores = jnp.einsum("bqkgd,bskd->bkgqs", (q5 * scale).astype(q.dtype),
+                            k, preferred_element_type=score_dtype)
+        if causal:
+            mask = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None, None]
+            scores = jnp.where(mask, scores, jnp.asarray(-1e30, score_dtype))
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(q.dtype)
+        out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(b, l, h * hd)
 
     if flash_available(l, hd):
         fa = _flash()
