@@ -297,3 +297,38 @@ def test_post_process_matches_reference_dataframes():
         assert ours["cluster"] == ref_df["cluster"].tolist(), (trial, pred)
         np.testing.assert_allclose(ours["onset"], ref_df["onset"].tolist())
         np.testing.assert_allclose(ours["offset"], ref_df["offset"].tolist())
+
+
+def test_training_queue_journal_survives_restart(tmp_path):
+    """Queued requests persist across backend restarts (journal hardening)."""
+    from whisperseg_tpu.services.backend import BackendState
+
+    ds = tmp_path / "datasets"
+    mb = tmp_path / "models"
+    state = BackendState(str(ds), str(mb))
+    dset = ds / "mymodel"
+    dset.mkdir(parents=True)
+    with state.queue_lock:
+        state.training_request_queue.append({
+            "model_name": "mymodel", "initial_model_name": "base",
+            "train_dataset_folder": str(dset), "num_epochs": 3,
+            "ignore_cluster": 0, "status": "training",
+        })
+        state._save_queue_journal()
+
+    revived = BackendState(str(ds), str(mb))
+    assert len(revived.training_request_queue) == 1
+    item = revived.training_request_queue[0]
+    assert item["model_name"] == "mymodel"
+    assert item["status"] == "queuing"  # mid-training restarts from queued
+
+    # entries whose dataset folder vanished are dropped
+    import shutil
+    shutil.rmtree(dset)
+    revived2 = BackendState(str(ds), str(mb))
+    assert revived2.training_request_queue == []
+
+    # corrupted journal is ignored
+    (mb / "training_queue.json").write_text("{not json")
+    revived3 = BackendState(str(ds), str(mb))
+    assert revived3.training_request_queue == []

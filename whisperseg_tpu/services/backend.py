@@ -59,6 +59,31 @@ class BackendState:
         self.training_active = False
         os.makedirs(dataset_base_folder, exist_ok=True)
         os.makedirs(model_base_folder, exist_ok=True)
+        self._journal_path = os.path.join(model_base_folder,
+                                          "training_queue.json")
+        self._load_queue_journal()
+
+    # -------------------------------------------------------- queue journal
+    #
+    # Hardening beyond the reference (which keeps the queue in memory only,
+    # scripts/backend.py:170-235): queued training requests survive a backend
+    # restart. A request that was mid-training restarts from "queuing".
+
+    def _save_queue_journal(self):
+        tmp = self._journal_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.training_request_queue, f)
+        os.replace(tmp, self._journal_path)
+
+    def _load_queue_journal(self):
+        try:
+            entries = json.load(open(self._journal_path))
+        except Exception:
+            return
+        for item in entries:
+            if os.path.isdir(item.get("train_dataset_folder", "")):
+                item["status"] = "queuing"
+                self.training_request_queue.append(item)
 
     # ------------------------------------------------------------ registry
 
@@ -142,6 +167,7 @@ class BackendState:
                 print("Start training ...")
                 with self.queue_lock:
                     self.training_request_queue[0]["status"] = "training"
+                    self._save_queue_journal()
                 try:
                     req = self.training_request_queue[0]
                     initial_model_path = None
@@ -165,11 +191,15 @@ class BackendState:
                     ])
                     self.training_active = False
                     print("Training finished.")
-                    self.training_request_queue.pop(0)
+                    with self.queue_lock:
+                        self.training_request_queue.pop(0)
+                        self._save_queue_journal()
                 except Exception:
                     self.training_active = False
                     print("Training error!")
-                    self.training_request_queue.pop(0)
+                    with self.queue_lock:
+                        self.training_request_queue.pop(0)
+                        self._save_queue_journal()
             time.sleep(5)
 
 
@@ -260,6 +290,7 @@ def build_app(state: BackendState) -> JsonHTTPServer:
                     "ignore_cluster": ignore_cluster,
                     "status": "queuing",
                 })
+                state._save_queue_journal()
             return {"message": "Training"}, 200
 
     @app.route("/segment", methods=["POST"])
