@@ -33,7 +33,7 @@ MODEL_SIZE = os.environ.get("BENCH_MODEL", "large")
 # the GQA-2 uptrained model scores frame F1 0.719 vs its MHA parent's 0.693
 # (RESULTS.md). BENCH_GQA=0 benches the MHA configuration.
 GQA_KV_HEADS = int(os.environ.get("BENCH_GQA", "4"))
-BATCH = int(os.environ.get("BENCH_BATCH", "48"))
+BATCH = int(os.environ.get("BENCH_BATCH", "192"))
 MAX_LENGTH = int(os.environ.get("BENCH_MAX_LENGTH", "32"))
 AUDIO_SECONDS = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
 SR = 32000

@@ -48,3 +48,32 @@ def test_fused_bf16_inputs():
     want = _ref(q, k, v)
     denom = np.abs(want).max()
     assert np.abs(out - want).max() / denom < 0.02
+
+
+def test_fused_attention_vjp_matches_einsum_grad():
+    """Training path: grad through the fused kernel (custom VJP that
+    rematerializes the einsum formulation) must match the pure-XLA grad."""
+    import jax
+    from whisperseg_tpu.ops import attention as att
+
+    rng = np.random.RandomState(3)
+    b, s, h, hd = 1, 96, 2, 64
+    q = jnp.asarray(rng.randn(b, s, h, hd).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, s, h, hd).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, s, h, hd).astype(np.float32) * 0.3)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(att._fused_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(att._xla_attention(q, k, v) ** 2)
+
+    att.FORCE_INTERPRET = True
+    try:
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        att.FORCE_INTERPRET = False
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-3)

@@ -22,6 +22,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Test hook: force the fused kernel into Pallas interpret mode (CPU) so the
+# custom-VJP machinery can be exercised off-TPU.
+FORCE_INTERPRET = False
+
+
 @functools.lru_cache(maxsize=1)
 def _flash():
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
@@ -66,6 +71,7 @@ def fused_encoder_attention(q, k, v, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or FORCE_INTERPRET
     b, s, h, hd = q.shape
     hkv = k.shape[2]
     g = h // hkv
@@ -144,24 +150,20 @@ def flash_available(seq_len: int, head_dim: int) -> bool:
     )
 
 
-def self_attention(q, k, v, causal: bool = False):
-    """q: [B, L, H, hd] (unscaled); k, v: [B, L, Hkv, hd] (GQA when Hkv < H)
-    -> [B, L, H*hd] (q's dtype on the fused path, float32 otherwise).
+def _xla_attention(q, k, v, causal: bool = False):
+    """XLA einsum attention, MHA and GQA (the fallback + gradient path).
 
-    Dispatch: the fused single-block kernel on TPU (default), the stock flash
-    kernel under WS_FLASH=1 (MHA only), the XLA einsum path elsewhere.
-    Softmax runs in f32 in all paths."""
+    In bf16 compute the materialized score/prob tensors (the dominant
+    encoder HBM stream: [B, H, S, S] per layer) stay bf16; the softmax
+    statistics run in f32 inside the fused elementwise chain."""
     b, l, h, hd = q.shape
     hkv = k.shape[2]
     scale = hd ** -0.5
-
-    if fused_available(l, hd, causal):
-        return fused_encoder_attention(q, k, v)
+    score_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
 
     if h != hkv:
-        # grouped XLA path: keep K/V un-expanded so the smaller K/V streams
+        # grouped path: keep K/V un-expanded so the smaller K/V streams
         g = h // hkv
-        score_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
         q5 = q.reshape(b, l, hkv, g, hd)
         scores = jnp.einsum("bqkgd,bskd->bkgqs", (q5 * scale).astype(q.dtype),
                             k, preferred_element_type=score_dtype)
@@ -172,6 +174,64 @@ def self_attention(q, k, v, causal: bool = False):
         out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v,
                          preferred_element_type=jnp.float32)
         return out.reshape(b, l, h * hd)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(q.dtype), k,
+                        preferred_element_type=score_dtype)
+    if causal:
+        mask = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]
+        scores = jnp.where(mask, scores, jnp.asarray(-1e30, score_dtype))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, l, h * hd)
+
+
+@jax.custom_vjp
+def _fused_attention(q, k, v):
+    """Differentiable wrapper: kernel forward, XLA-einsum backward.
+
+    A bare pallas_call has no transpose rule, but the encoder runs under
+    grad during training — the backward pass rematerializes the attention
+    with the (mathematically identical) einsum formulation and
+    differentiates that, so training works and inference keeps the kernel."""
+    return fused_encoder_attention(q, k, v)
+
+
+def _fused_attention_fwd(q, k, v):
+    return fused_encoder_attention(q, k, v), (q, k, v)
+
+
+def _fused_attention_bwd(res, g):
+    q, k, v = res
+    out_dtype = g.dtype
+
+    def ref(q, k, v):
+        return _xla_attention(q, k, v, False).astype(out_dtype)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def self_attention(q, k, v, causal: bool = False):
+    """q: [B, L, H, hd] (unscaled); k, v: [B, L, Hkv, hd] (GQA when Hkv < H)
+    -> [B, L, H*hd] (q's dtype on the fused path, float32 otherwise).
+
+    Dispatch: the fused single-block kernel on TPU (default; differentiable
+    via the einsum-rematerializing VJP), the stock flash kernel under
+    WS_FLASH=1 (MHA only), the XLA einsum path elsewhere. Softmax runs in
+    f32 in all paths."""
+    b, l, h, hd = q.shape
+    hkv = k.shape[2]
+    scale = hd ** -0.5
+
+    if fused_available(l, hd, causal):
+        return _fused_attention(q, k, v)
+
+    if h != hkv:
+        return _xla_attention(q, k, v, causal)
 
     if flash_available(l, hd):
         fa = _flash()
@@ -200,22 +260,4 @@ def self_attention(q, k, v, causal: bool = False):
         out = jnp.transpose(out[:, :, :l, :], (0, 2, 1, 3))  # [B, L, H, hd]
         return out.reshape(b, l, h * hd).astype(jnp.float32)
 
-    # XLA path. In bf16 compute the materialized score/prob tensors (the
-    # dominant encoder HBM stream: [B, H, S, S] per layer) stay bf16; the
-    # softmax statistics are computed in f32 inside the fused elementwise
-    # chain. f32 compute (CPU tests / HF parity) keeps f32 throughout.
-    bf16_scores = q.dtype == jnp.bfloat16
-    score_dtype = jnp.bfloat16 if bf16_scores else jnp.float32
-    scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", (q * scale).astype(q.dtype), k,
-        preferred_element_type=score_dtype,
-    )
-    if causal:
-        mask = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]
-        scores = jnp.where(mask, scores, jnp.asarray(-1e30, score_dtype))
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs, v,
-        preferred_element_type=jnp.float32,
-    )
-    return out.reshape(b, l, h * hd)
+    return _xla_attention(q, k, v, causal)
