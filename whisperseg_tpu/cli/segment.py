@@ -32,6 +32,11 @@ def build_parser():
     parser.add_argument("--spec_time_step", default=None, type=float)
     parser.add_argument("--num_trials", default=1, type=int)
     parser.add_argument("--num_beams", default=4, type=int)
+    parser.add_argument("--draft_model_path", default=None,
+                        help="Small checkpoint for greedy speculative "
+                             "decoding (requires --num_beams 1)")
+    parser.add_argument("--spec_k", default=4, type=int,
+                        help="Draft tokens per speculative step")
     return parser
 
 
@@ -47,6 +52,8 @@ def main(argv=None):
         "csv_save_path must end with .csv or be 'buffer'"
 
     segmenter = Segmenter.from_pretrained(args.model_path)
+    if args.draft_model_path:
+        segmenter.set_draft_model(args.draft_model_path, spec_k=args.spec_k)
 
     def run(audio, sr):
         return segmenter.segment(

@@ -198,6 +198,160 @@ def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
     return tokens
 
 
+# ----------------------------------------------------------------- speculative
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "draft_cfg", "max_length", "spec_k"))
+def generate_speculative(
+    params,
+    cfg: WhisperConfig,
+    draft_params,
+    draft_cfg: WhisperConfig,
+    features,
+    max_length: int = 448,
+    spec_k: int = 4,
+):
+    """Greedy speculative decoding: a small draft model proposes ``spec_k``
+    tokens per iteration, the target model verifies them in ONE forward over
+    the chunk, and the longest matching prefix plus the target's own next
+    token are committed. The output is EXACTLY the target's greedy transcript
+    (acceptance rate only affects speed) — a capability neither of the
+    reference's engines (HF generate / CTranslate2) provides. Exactness
+    caveat: "the target's greedy transcript" as computed by chunked
+    verification forwards — on TPU, bf16 MXU passes make the Lc=K+1 chunk
+    numerically differ from Lc=1 steps in the last bits, so near-tied
+    argmaxes occasionally flip (measured: boundary-level diffs on a few of
+    39 segments on real data; bitwise-identical on CPU f32).
+
+    TPU-native formulation: cache slots are decoupled from sequence
+    positions. Every iteration consumes ``spec_k + 1`` cache slots at a
+    GLOBAL cursor (identical for all rows, so cache writes stay a single
+    dynamic_update_slice — no scatter); per-row divergence lives entirely in
+    a ``slot_valid`` boolean map (rejected drafts stay masked forever) and a
+    per-row true-position vector for positional embeddings. All shapes are
+    static; the whole decode is one ``lax.while_loop``.
+
+    The draft runs ``spec_k + 1`` single-token steps per iteration (the last
+    ingests its own final draft so every committed token's K/V exists in
+    both caches). Worst case (zero acceptance) this degrades to ~greedy
+    speed plus draft overhead; with a finetuned tiny draft the target runs
+    once per ~accepted+1 tokens.
+
+    Cache memory: ``prompt + (max_length - prompt) * (spec_k + 1)`` slots.
+    Both models must share the tokenizer (same vocab/prompt)."""
+    assert cfg.vocab_size == draft_cfg.vocab_size, "vocabularies must match"
+    k = spec_k
+    enc_t = encoder_forward(params, cfg, features)
+    enc_d = encoder_forward(draft_params, draft_cfg, features)
+    batch, s_t = enc_t.shape[:2]
+    s_d = enc_d.shape[1]
+
+    xk_t, xv_t = precompute_cross_kv(params, cfg, enc_t)
+    xk_d, xv_d = precompute_cross_kv(draft_params, draft_cfg, enc_d)
+
+    prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None],
+                      (batch, 1))
+    pl = prompt.shape[1]
+    max_slots = pl + (max_length - pl) * (k + 1)
+    ck_t, cv_t = init_cache(cfg, batch, max_slots)
+    ck_d, cv_d = init_cache(draft_cfg, batch, max_slots)
+
+    tokens = jnp.full((batch, max_length), tok.PAD_ID, dtype=jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+    # Prefill both models (slots == positions for the prompt).
+    logits, ck_t, cv_t = decoder_step(params, cfg, xk_t, xv_t, prompt,
+                                      jnp.int32(0), ck_t, cv_t,
+                                      cross_seq_len=s_t)
+    _, ck_d, cv_d = decoder_step(draft_params, draft_cfg, xk_d, xv_d, prompt,
+                                 jnp.int32(0), ck_d, cv_d, cross_seq_len=s_d)
+    cur = jnp.argmax(logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
+    tokens = tokens.at[:, pl].set(cur)
+    finished = cur == tok.EOT_ID
+    tp = jnp.full((batch,), pl + 1, jnp.int32)  # committed length per row
+    slot_valid = (jnp.arange(max_slots) < pl)[None, :].repeat(batch, axis=0)
+
+    cols_k = jnp.arange(k + 1)
+    cols_len = jnp.arange(max_length)
+    cols_s = jnp.arange(max_slots)
+
+    def cond(state):
+        tokens, tp, cur, finished, slot0, slot_valid, *_ = state
+        return jnp.logical_and(slot0 + k + 1 <= max_slots,
+                               ~jnp.all(finished))
+
+    def body(state):
+        (tokens, tp, cur, finished, slot0, slot_valid,
+         ck_t, cv_t, ck_d, cv_d) = state
+
+        # ---- draft phase: k proposal steps + 1 ingest step (all Lc == 1)
+        def draft_step(j, carry):
+            x_j, drafts, ck_d, cv_d = carry
+            spec_prefix = (cols_s >= slot0) & (cols_s < slot0 + j)
+            dl, ck_d, cv_d = decoder_step(
+                draft_params, draft_cfg, xk_d, xv_d, x_j[:, None], slot0 + j,
+                ck_d, cv_d, cross_seq_len=s_d,
+                truepos=tp - 1 + j,
+                slot_valid=slot_valid | spec_prefix[None, :])
+            d_j = jnp.argmax(dl[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
+            drafts = jnp.where(cols_k[None, :k] == j, d_j[:, None], drafts)
+            return d_j, drafts, ck_d, cv_d
+
+        drafts = jnp.full((batch, k), tok.PAD_ID, dtype=jnp.int32)
+        _, drafts, ck_d, cv_d = lax.fori_loop(
+            0, k + 1, draft_step, (cur, drafts, ck_d, cv_d))
+
+        # ---- verify: one target forward over [cur, d_1..d_k]
+        chunk = jnp.concatenate([cur[:, None], drafts], axis=1)  # [B, K+1]
+        tl, ck_t, cv_t = decoder_step(
+            params, cfg, xk_t, xv_t, chunk, slot0, ck_t, cv_t,
+            cross_seq_len=s_t, truepos=tp - 1, slot_valid=slot_valid)
+        g = jnp.argmax(tl.astype(jnp.float32), -1).astype(jnp.int32)  # [B,K+1]
+
+        # ---- acceptance: longest matching prefix, then the bonus token
+        match = drafts == g[:, :k]                                # [B, K]
+        accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        bonus = jnp.take_along_axis(g, accepted[:, None], axis=1)[:, 0]
+        padded = jnp.concatenate(
+            [drafts, jnp.full((batch, 1), tok.PAD_ID, jnp.int32)], axis=1)
+        commit = jnp.where(cols_k[None] < accepted[:, None], padded,
+                           jnp.where(cols_k[None] == accepted[:, None],
+                                     bonus[:, None], tok.PAD_ID))  # [B, K+1]
+
+        # EOT truncation: commits stop at (and include) the first EOT
+        is_eot = commit == tok.EOT_ID
+        any_eot = jnp.any(is_eot, axis=1)
+        first_eot = jnp.argmax(is_eot, axis=1)
+        count = jnp.where(any_eot, first_eot + 1, accepted + 1)
+        count = jnp.where(finished, 0, count)
+        count = jnp.minimum(count, max_length - tp)                # budget cap
+
+        # ---- write committed tokens at per-row true positions (one pass)
+        rel = jnp.clip(cols_len[None] - tp[:, None], 0, k)
+        vals = jnp.take_along_axis(commit, rel, axis=1)            # [B, L]
+        wmask = (cols_len[None] >= tp[:, None]) & \
+                (cols_len[None] < (tp + count)[:, None])
+        tokens = jnp.where(wmask, vals, tokens)
+
+        # ---- bookkeeping
+        n_draft_committed = jnp.minimum(accepted, count)           # d_j slots
+        newly_valid = (cols_s[None] >= slot0) & \
+            (cols_s[None] <= slot0 + n_draft_committed[:, None]) & \
+            ~finished[:, None]
+        slot_valid = slot_valid | newly_valid
+        new_finished = finished | any_eot | (tp + count >= max_length)
+        cur = jnp.where(new_finished, tok.PAD_ID, bonus)
+        tp = tp + count
+        return (tokens, tp, cur, new_finished, slot0 + k + 1, slot_valid,
+                ck_t, cv_t, ck_d, cv_d)
+
+    state = (tokens, tp, cur, finished, jnp.int32(pl), slot_valid,
+             ck_t, cv_t, ck_d, cv_d)
+    tokens, *_ = lax.while_loop(cond, body, state)
+    return tokens
+
+
 # ------------------------------------------------------------------------ beam
 
 

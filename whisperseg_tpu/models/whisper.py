@@ -398,6 +398,10 @@ def decoder_step(
     cache_k,      # [Ld, B, max_len, H, hd]
     cache_v,
     cross_seq_len: int = 0,  # valid encoder positions (int8 KV layout only)
+    truepos=None,    # optional [B] int32: per-row TRUE sequence position of
+                     # input_ids[:, 0] (slot mode; pos0 becomes the cache slot)
+    slot_valid=None,  # optional [B, max_len] bool: which cache slots hold
+                      # committed history (slot mode, see decode.py speculative)
 ):
     """Run the decoder over a chunk of new tokens with KV caching.
 
@@ -405,6 +409,14 @@ def decoder_step(
     This one function covers both prompt prefill (Lc > 1) and the autoregressive
     inner loop (Lc == 1); the self-attention mask allows key position ``kp`` for
     query chunk index ``qi`` iff ``kp <= pos0 + qi``.
+
+    Slot mode (speculative decoding): when ``truepos``/``slot_valid`` are
+    given, cache indices decouple from sequence positions — the chunk's K/V
+    are written at slots ``pos0..pos0+Lc-1`` (the same for every row, so one
+    dynamic_update_slice suffices; no scatter), positional embeddings use the
+    per-row ``truepos``, and self-attention sees committed history slots
+    (``slot_valid``) plus the causal prefix of the current chunk. Rejected
+    draft slots simply stay masked forever.
     """
     dec = params["decoder"]
     cdt = jnp.dtype(cfg.compute_dtype)
@@ -413,13 +425,23 @@ def decoder_step(
     b, lc = input_ids.shape
     max_len = cache_k.shape[2]
 
-    pos = pos0 + jnp.arange(lc)
-    x = (dec["tok_emb"][input_ids]
-         + jnp.take(dec["pos_emb"], pos, axis=0)[None]).astype(jnp.float32)
+    if truepos is None:
+        pos = pos0 + jnp.arange(lc)
+        pos_emb = jnp.take(dec["pos_emb"], pos, axis=0)[None]    # [1, Lc, D]
+    else:
+        pos = truepos[:, None] + jnp.arange(lc)[None]            # [B, Lc]
+        pos = jnp.clip(pos, 0, dec["pos_emb"].shape[0] - 1)
+        pos_emb = jnp.take(dec["pos_emb"], pos, axis=0)          # [B, Lc, D]
+    x = (dec["tok_emb"][input_ids] + pos_emb).astype(jnp.float32)
 
     key_pos = jnp.arange(max_len)[None, None, None, :]           # [1,1,1,K]
-    query_pos = (pos0 + jnp.arange(lc))[None, None, :, None]     # [1,1,Lc,1]
-    self_mask = key_pos <= query_pos
+    qi = jnp.arange(lc)[None, None, :, None]                     # [1,1,Lc,1]
+    if slot_valid is None:
+        self_mask = key_pos <= pos0 + qi
+    else:
+        in_chunk = (key_pos >= pos0) & (key_pos <= pos0 + qi)    # [1,1,Lc,K]
+        hist = slot_valid[:, None, None, :] & (key_pos < pos0)   # [B,1,1,K]
+        self_mask = hist | in_chunk                              # [B,1,Lc,K]
 
     def layer_fn(x, scanned):
         lp, xk_l, xv_l, ck_l, cv_l = scanned

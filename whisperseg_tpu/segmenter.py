@@ -91,6 +91,26 @@ class Segmenter:
         params, config = load_checkpoint(model_path)
         return cls(params, config)
 
+    def set_draft_model(self, model_path: str, spec_k: int = 4):
+        """Enable greedy speculative decoding: a small draft checkpoint (e.g.
+        a whisper-tiny finetune of the same dataset) proposes ``spec_k``
+        tokens per step and the main model verifies them in one forward.
+        Output is exactly the main model's greedy transcript; speed scales
+        with draft/target agreement (decode.generate_speculative). Applies
+        to greedy requests only (num_beams <= 1, unconstrained)."""
+        from .checkpoint import load_checkpoint
+
+        dparams, dcfg = load_checkpoint(model_path)
+        import jax
+        import jax.numpy as jnp
+
+        dparams = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "astype") and x.dtype == jnp.float32 else x, dparams)
+        self.draft = (dparams, dcfg)
+        self.spec_k = spec_k
+        self.__dict__["_segment_fn_cache"] = {}
+
     @property
     def inverse_cluster_codebook(self) -> Dict[int, str]:
         return {v: k for k, v in self.cluster_codebook.items()}
@@ -143,22 +163,34 @@ class Segmenter:
         device is reached over a network tunnel)."""
         import jax
 
-        from .decode import generate
+        from .decode import generate, generate_speculative
 
+        use_spec = (getattr(self, "draft", None) is not None
+                    and num_beams <= 1 and top_k <= 1 and not constrained)
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
                frontend.max_frequency, max_length, num_beams, top_k,
-               constrained, int8_kv)
+               constrained, int8_kv, use_spec)
         cache = self.__dict__.setdefault("_segment_fn_cache", {})
         if key not in cache:
             total = self.total_spec_columns
             cfg = self.config
 
-            def fn(params, clips, rng, length_penalty):
-                feats = frontend.features_for_clips(clips, total)
-                return generate(params, cfg, feats, rng=rng,
-                                max_length=max_length, num_beams=num_beams,
-                                top_k=top_k, length_penalty=length_penalty,
-                                constrained=constrained, int8_kv=int8_kv)
+            if use_spec:
+                dparams, dcfg = self.draft
+                spec_k = self.spec_k
+
+                def fn(params, clips, rng, length_penalty):
+                    feats = frontend.features_for_clips(clips, total)
+                    return generate_speculative(params, cfg, dparams, dcfg,
+                                                feats, max_length=max_length,
+                                                spec_k=spec_k)
+            else:
+                def fn(params, clips, rng, length_penalty):
+                    feats = frontend.features_for_clips(clips, total)
+                    return generate(params, cfg, feats, rng=rng,
+                                    max_length=max_length, num_beams=num_beams,
+                                    top_k=top_k, length_penalty=length_penalty,
+                                    constrained=constrained, int8_kv=int8_kv)
 
             cache[key] = jax.jit(fn)
         return cache[key]
