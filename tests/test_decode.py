@@ -127,3 +127,35 @@ def test_parse_generated(overfit_model):
         [0.02, pytest.approx(0.1), "c0"],
         [pytest.approx(0.2), pytest.approx(0.4), "c1"],
     ]
+
+
+def test_nucleus_filter_masks_tail():
+    from whisperseg_tpu.decode import _nucleus_filter, NEG_INF
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    out = np.asarray(_nucleus_filter(logits, 0.7))
+    # 0.5 kept (prefix 0 < 0.7), 0.3 kept (prefix 0.5 < 0.7),
+    # 0.15 dropped (prefix 0.8 >= 0.7), 0.05 dropped
+    assert np.isfinite(out[0, 0]) and np.isfinite(out[0, 1])
+    assert out[0, 2] <= float(NEG_INF) / 2 and out[0, 3] <= float(NEG_INF) / 2
+    # top token always survives even for tiny p
+    out2 = np.asarray(_nucleus_filter(logits, 1e-6))
+    assert np.isfinite(out2[0, 0]) and (out2[0, 1:] <= float(NEG_INF) / 2).all()
+
+
+def test_top_p_sampling_stays_in_nucleus():
+    from whisperseg_tpu.decode import _sample_or_argmax
+
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.log(jnp.tile(jnp.asarray([[0.6, 0.25, 0.1, 0.05]]), (64, 1)))
+    toks = np.asarray(_sample_or_argmax(logits, top_k=0, rng=rng, top_p=0.8))
+    assert set(toks.tolist()) <= {0, 1}  # nucleus at p=0.8 is {0.6, 0.25}
+    assert 1 in toks.tolist()  # it actually samples, not argmaxes
+
+
+def test_top_p_on_peaked_model_recovers_sequence(overfit_model):
+    cfg, params, feats, target = overfit_model
+    out = np.asarray(generate(params, cfg, feats, max_length=32,
+                              num_beams=1, top_k=1, top_p=0.5))
+    n = len(target)
+    assert out[0].tolist()[:n] == target

@@ -90,19 +90,41 @@ def _grammar_step(mode, last_col, token):
     return new_mode, col
 
 
-def _sample_or_argmax(logits, top_k: int, rng):
-    """logits [B, V] -> token [B]. top_k == 1 is exact argmax."""
-    if top_k <= 1:
+def _nucleus_filter(logits, top_p: float):
+    """Mask tokens outside the smallest set with cumulative prob >= top_p
+    (HF top_p semantics; the highest-prob token always survives). The full
+    descending sort is one lax.top_k over the compact 1024-token vocab."""
+    v = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    sorted_p, sort_idx = lax.top_k(probs, v)
+    cum = jnp.cumsum(sorted_p, axis=-1)
+    keep_sorted = (cum - sorted_p) < top_p          # prefix mass before token
+    rows = jnp.arange(logits.shape[0])[:, None]
+    keep = jnp.zeros(logits.shape, bool).at[rows, sort_idx].set(keep_sorted)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def _sample_or_argmax(logits, top_k: int, rng, top_p: float = 1.0):
+    """logits [B, V] -> token [B]. Greedy when neither filter is active;
+    otherwise sample from the (top_k ∩ nucleus) filtered distribution
+    (HF sampling semantics: filters compose)."""
+    if top_k <= 1 and top_p >= 1.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    vals, idxs = lax.top_k(logits, top_k)
-    choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
-    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    if top_p < 1.0:
+        logits = _nucleus_filter(logits, top_p)
+    if top_k > 1:
+        vals, idxs = lax.top_k(logits, top_k)
+        choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(
+            idxs, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    return jax.random.categorical(
+        rng, logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_length", "num_beams", "top_k", "early_exit",
-                     "constrained", "int8_kv"),
+    static_argnames=("cfg", "max_length", "num_beams", "top_k", "top_p",
+                     "early_exit", "constrained", "int8_kv"),
 )
 def generate(
     params,
@@ -112,6 +134,7 @@ def generate(
     max_length: int = 448,
     num_beams: int = 1,
     top_k: int = 1,
+    top_p: float = 1.0,
     length_penalty: float = 1.0,
     early_exit: bool = True,
     constrained: bool = False,
@@ -132,7 +155,7 @@ def generate(
     enc_out = encoder_forward(params, cfg, features)
     if num_beams <= 1:
         return _generate_greedy(params, cfg, enc_out, rng, max_length, top_k,
-                                early_exit, constrained, int8_kv)
+                                early_exit, constrained, int8_kv, top_p)
     return _generate_beam(params, cfg, enc_out, max_length, num_beams,
                           length_penalty, early_exit, int8_kv)
 
@@ -142,7 +165,7 @@ def generate(
 
 def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
                      early_exit: bool = True, constrained: bool = False,
-                     int8_kv: bool = False):
+                     int8_kv: bool = False, top_p: float = 1.0):
     batch = enc_out.shape[0]
     seq_len = enc_out.shape[1]
     prompt = jnp.tile(jnp.asarray(tok.PROMPT_IDS, dtype=jnp.int32)[None], (batch, 1))
@@ -162,7 +185,7 @@ def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
         if constrained:
             mask = _grammar_mask(mode, last_col, vocab)
             logits = jnp.where(mask, logits, NEG_INF)
-        nxt = _sample_or_argmax(logits, top_k, rng_sub)
+        nxt = _sample_or_argmax(logits, top_k, rng_sub, top_p)
         mode2, col2 = _grammar_step(mode, last_col, nxt)
         return nxt, mode2, col2
 

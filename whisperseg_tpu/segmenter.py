@@ -156,7 +156,7 @@ class Segmenter:
 
     def _segment_fn(self, frontend: Frontend, max_length: int, num_beams: int,
                     top_k: int, constrained: bool = False,
-                    int8_kv: bool = False):
+                    int8_kv: bool = False, top_p: float = 1.0):
         """One fused jitted computation: raw audio clips -> log-mel features ->
         autoregressive decode -> token ids. Fusing the frontend into the decode
         call halves host->device round trips per batch (which dominate when the
@@ -169,7 +169,7 @@ class Segmenter:
                     and num_beams <= 1 and top_k <= 1 and not constrained)
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
                frontend.max_frequency, max_length, num_beams, top_k,
-               constrained, int8_kv, use_spec)
+               constrained, int8_kv, use_spec, top_p)
         cache = self.__dict__.setdefault("_segment_fn_cache", {})
         if key not in cache:
             total = self.total_spec_columns
@@ -189,7 +189,8 @@ class Segmenter:
                     feats = frontend.features_for_clips(clips, total)
                     return generate(params, cfg, feats, rng=rng,
                                     max_length=max_length, num_beams=num_beams,
-                                    top_k=top_k, length_penalty=length_penalty,
+                                    top_k=top_k, top_p=top_p,
+                                    length_penalty=length_penalty,
                                     constrained=constrained, int8_kv=int8_kv)
 
             cache[key] = jax.jit(fn)
@@ -208,6 +209,7 @@ class Segmenter:
         status_monitor: Optional[dict],
         constrained: bool = False,
         int8_kv: bool = False,
+        top_p: float = 1.0,
     ) -> List[List[int]]:
         """Run the fused frontend+decode computation over fixed-size batches
         (last batch zero-padded so every call reuses one compiled executable)."""
@@ -215,7 +217,7 @@ class Segmenter:
         import jax.numpy as jnp
 
         fn = self._segment_fn(frontend, max_length, num_beams, top_k,
-                              constrained, int8_kv)
+                              constrained, int8_kv, top_p)
         n = clips.shape[0]
         out: List[List[int]] = []
         rng = jax.random.PRNGKey(seed)
@@ -343,10 +345,6 @@ class Segmenter:
         Default resolution follows reference model.py:398-425: explicit arg >
         model's default_segmentation_config > literal fallback.
         """
-        if top_p != 1.0:
-            import warnings
-
-            warnings.warn("top_p sampling is not supported; ignoring top_p != 1.0")
         if min_frequency is None:
             min_frequency = self.default_segmentation_config.get("min_frequency", 0)
         if spec_time_step is None:
@@ -365,7 +363,7 @@ class Segmenter:
         token_lists = self._generate_tokens(
             clips, frontend, batch_size, max_length, num_beams, top_k,
             length_penalty, seed, status_monitor, constrained=constrained,
-            int8_kv=int8_kv,
+            int8_kv=int8_kv, top_p=top_p,
         )
 
         final = self._parse_generation(
