@@ -190,6 +190,49 @@ def _dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+# ---------------------------------------------------- head-major projections
+#
+# The fused encoder-attention kernel wants [B, H, S, hd] (and K transposed to
+# [B, Hkv, hd, S]). Emitting those layouts straight from the projection
+# einsums lets XLA fuse the relayout into the matmul epilogue — the separate
+# transpose+pad passes the kernel otherwise needs (4 per layer) disappear.
+
+
+def _deq_full(w, cdt):
+    from ..ops.quant import QuantTensor
+
+    if isinstance(w, QuantTensor):
+        return w.values.astype(cdt) * w.scale.astype(cdt)
+    return w.astype(cdt)
+
+
+def _project_heads(h, w, b, heads: int, cdt):
+    """h [B, S, D] @ w [D, heads*hd] -> [B, heads, S, hd] (bias optional)."""
+    d = h.shape[-1]
+    w3 = _deq_full(w, cdt).reshape(d, heads, -1)
+    out = jnp.einsum("bsd,dhf->bhsf", h.astype(cdt), w3,
+                     preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.reshape(1, heads, 1, -1)
+    return out.astype(cdt)
+
+
+def _project_heads_t(h, w, heads: int, cdt):
+    """h [B, S, D] @ w [D, heads*hd] -> [B, heads, hd, S] (K, pre-transposed)."""
+    d = h.shape[-1]
+    w3 = _deq_full(w, cdt).reshape(d, heads, -1)
+    return jnp.einsum("bsd,dhf->bhfs", h.astype(cdt), w3,
+                      preferred_element_type=jnp.float32).astype(cdt)
+
+
+def _oproj_heads(a4, w, b, cdt):
+    """a4 [B, H, S, hd] @ w [H*hd, D] -> [B, S, D] float32 (+ bias)."""
+    heads, hd = a4.shape[1], a4.shape[3]
+    w3 = _deq_full(w, cdt).reshape(heads, hd, -1)
+    return jnp.einsum("bhsf,hfd->bsd", a4.astype(cdt), w3,
+                      preferred_element_type=jnp.float32) + b
+
+
 # ------------------------------------------------------------------------- encoder
 
 
@@ -227,6 +270,19 @@ def encoder_forward(
     rate = cfg.dropout if train else 0.0
     num_heads = cfg.num_heads
     kv_heads = cfg.kv_heads
+    head_dim = cfg.head_dim
+
+    # Head-major fast path (TPU): run the WHOLE encoder at the 128-padded
+    # sequence length, emit q/k/v straight in the kernel's layouts from the
+    # projection einsums, and mask padded keys inside the kernel — zero
+    # relayout/pad passes per layer. The padded rows carry garbage but never
+    # influence valid keys; they are sliced off at the end.
+    from ..ops.attention import fused_attention_hm, fused_available
+
+    use_hm = fused_available(s, head_dim, False)
+    sp = -(-s // 128) * 128
+    if use_hm and sp != s:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     def layer_fn(x, scanned):
         if rate > 0.0:
@@ -235,15 +291,21 @@ def encoder_forward(
         else:
             lp = scanned
         h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
-        q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
-        k = _split_heads(_dot(h, lp["k_w"], cdt), kv_heads)
-        v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], kv_heads)
-        # fused single-block Pallas attention on TPU (MHA and GQA); XLA
-        # einsum elsewhere — see ops/attention.py for the dispatch rules
-        from ..ops.attention import self_attention
+        if use_hm:
+            q4 = _project_heads(h, lp["q_w"], lp["q_b"], num_heads, cdt)
+            kt4 = _project_heads_t(h, lp["k_w"], kv_heads, cdt)
+            v4 = _project_heads(h, lp["v_w"], lp["v_b"], kv_heads, cdt)
+            a4 = fused_attention_hm(s, q4, kt4, v4)        # [B, H, Sp, hd]
+            a = _oproj_heads(a4, lp["o_w"], lp["o_b"], cdt)
+        else:
+            q = _split_heads(_dot(h, lp["q_w"], cdt) + lp["q_b"], num_heads)
+            k = _split_heads(_dot(h, lp["k_w"], cdt), kv_heads)
+            v = _split_heads(_dot(h, lp["v_w"], cdt) + lp["v_b"], kv_heads)
+            # XLA einsum attention (MHA and GQA); flash under WS_FLASH=1
+            from ..ops.attention import self_attention
 
-        a = self_attention(q.astype(cdt), k.astype(cdt), v.astype(cdt))
-        a = _dot(a, lp["o_w"], cdt) + lp["o_b"]
+            a = self_attention(q.astype(cdt), k.astype(cdt), v.astype(cdt))
+            a = _dot(a, lp["o_w"], cdt) + lp["o_b"]
         if rate > 0.0:
             a = _dropout(a, rate, rng1)
         x = x + a
@@ -265,6 +327,8 @@ def encoder_forward(
     else:
         x, _ = lax.scan(layer_fn, x, enc["layers"])
 
+    if use_hm and sp != s:
+        x = x[:, :s]
     return _layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
 
 

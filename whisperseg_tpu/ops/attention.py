@@ -68,22 +68,9 @@ def fused_encoder_attention(q, k, v, interpret: bool = False):
 
     Returns [B, S, H*hd] in q's dtype (callers cast into the output
     projection anyway; a f32 output would double the out stream)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    interpret = interpret or FORCE_INTERPRET
     b, s, h, hd = q.shape
-    hkv = k.shape[2]
-    g = h // hkv
     sp = _round_up(s, 128)
-    scale = hd ** -0.5
-    # kv groups per grid step: the largest divisor of Hkv keeping the
-    # unrolled q-head loop (and its [Sp, Sp] f32 temporaries) inside VMEM
-    gc = max(d for d in range(1, hkv + 1) if hkv % d == 0 and d * g <= 8)
-    hc = gc * g  # query heads per grid step
 
-    # Head-major rows per batch item: q [B, H*Sp, hd]; K pre-transposed to
-    # [B, Hkv*hd, Sp] so the kernel's dots are plain (m, k) @ (k, n) MXU ops.
     qt = jnp.transpose(q, (0, 2, 1, 3))                    # [B, H, S, hd]
     kt = jnp.transpose(k, (0, 2, 3, 1))                    # [B, Hkv, hd, S]
     vt = jnp.transpose(v, (0, 2, 1, 3))                    # [B, Hkv, S, hd]
@@ -91,9 +78,42 @@ def fused_encoder_attention(q, k, v, interpret: bool = False):
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, sp - s)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
-    qt = qt.reshape(b, h * sp, hd)
-    kt = kt.reshape(b, hkv * hd, sp)
-    vt = vt.reshape(b, hkv * sp, hd)
+    out = fused_attention_head_major(s, qt, kt, vt, interpret=interpret)
+    out = out[:, :, :s].transpose(0, 2, 1, 3)
+    return out.reshape(b, s, h * hd)
+
+
+def fused_attention_head_major(valid_len: int, q4, kt4, v4,
+                               interpret: bool = False):
+    """The fused attention kernel on HEAD-MAJOR inputs (no relayouts).
+
+    q4: [B, H, Sp, hd]; kt4: [B, Hkv, hd, Sp] (K pre-transposed); v4:
+    [B, Hkv, Sp, hd]; Sp a 128-multiple; keys at positions >= valid_len are
+    masked. Returns [B, H, Sp, hd] in q's dtype (padded rows are garbage —
+    slice or keep padded, they never influence valid keys).
+
+    This is the zero-copy entry for the head-major encoder path
+    (models/whisper.py): projections emit these layouts directly via einsum
+    (the relayout fuses into the projection matmul), so the kernel's former
+    4 transposes + pads per layer disappear."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or FORCE_INTERPRET
+    b, h, sp, hd = q4.shape
+    hkv = v4.shape[1]
+    g = h // hkv
+    scale = hd ** -0.5
+    # kv groups per grid step: the largest divisor of Hkv keeping the
+    # unrolled q-head loop (and its [Sp, Sp] f32 temporaries) inside the
+    # 16 MB scoped VMEM (one step per head was overhead-bound; one step per
+    # batch item overflowed)
+    gc = max(d for d in range(1, hkv + 1) if hkv % d == 0 and d * g <= 8)
+    hc = gc * g  # query heads per grid step
+
+    qt = q4.reshape(b, h * sp, hd)
+    kt = kt4.reshape(b, hkv * hd, sp)
+    vt = v4.reshape(b, hkv * sp, hd)
 
     def kernel(q_ref, kt_ref, v_ref, o_ref):
         f32 = jnp.float32
@@ -106,7 +126,7 @@ def fused_encoder_attention(q, k, v, interpret: bool = False):
             scores = jax.lax.dot_general(
                 qh, kth, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32) * f32(scale)   # [Sp, Sp]
-            scores = jnp.where(col < s, scores, f32(-1e30))  # mask padded keys
+            scores = jnp.where(col < valid_len, scores, f32(-1e30))
             m = jnp.max(scores, axis=1, keepdims=True)
             p = jnp.exp(scores - m).astype(q_ref.dtype)
             l = jnp.sum(p.astype(f32), axis=1, keepdims=True)
@@ -128,11 +148,52 @@ def fused_encoder_attention(q, k, v, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((1, hc * sp, hd), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * sp, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h * sp, hd), q4.dtype),
         interpret=interpret,
     )(qt, kt, vt)
-    out = out.reshape(b, h, sp, hd)[:, :, :s].transpose(0, 2, 1, 3)
-    return out.reshape(b, s, h * hd)
+    return out.reshape(b, h, sp, hd)
+
+
+def xla_attention_head_major(valid_len: int, q4, kt4, v4):
+    """Einsum reference for the head-major layout (VJP backward + CPU path)."""
+    b, h, sp, hd = q4.shape
+    hkv = v4.shape[1]
+    g = h // hkv
+    scale = hd ** -0.5
+    score_dtype = jnp.bfloat16 if q4.dtype == jnp.bfloat16 else jnp.float32
+    q5 = q4.reshape(b, hkv, g, sp, hd)
+    scores = jnp.einsum("bkgsf,bkft->bkgst", (q5 * scale).astype(q4.dtype),
+                        kt4, preferred_element_type=score_dtype)
+    mask = (jnp.arange(sp) < valid_len)[None, None, None, None, :]
+    scores = jnp.where(mask, scores, jnp.asarray(-1e30, score_dtype))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(q4.dtype)
+    out = jnp.einsum("bkgst,bktf->bkgsf", probs, v4,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, h, sp, hd).astype(q4.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_attention_hm(valid_len: int, q4, kt4, v4):
+    """Differentiable head-major fused attention (einsum-remat backward)."""
+    return fused_attention_head_major(valid_len, q4, kt4, v4)
+
+
+def _fused_hm_fwd(valid_len, q4, kt4, v4):
+    return fused_attention_head_major(valid_len, q4, kt4, v4), (q4, kt4, v4)
+
+
+def _fused_hm_bwd(valid_len, res, g_out):
+    q4, kt4, v4 = res
+
+    def ref(q4, kt4, v4):
+        return xla_attention_head_major(valid_len, q4, kt4, v4).astype(
+            g_out.dtype)
+
+    _, vjp = jax.vjp(ref, q4, kt4, v4)
+    return vjp(g_out)
+
+
+fused_attention_hm.defvjp(_fused_hm_fwd, _fused_hm_bwd)
 
 
 def flash_available(seq_len: int, head_dim: int) -> bool:
