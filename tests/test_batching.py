@@ -52,9 +52,9 @@ def test_concurrent_requests_share_batches(pair):
     fn_key_fn = batched._segment_fn
 
     def spying_segment_fn(frontend, max_length, num_beams, top_k,
-                          constrained=False, int8_kv=False):
+                          constrained=False, int8_kv=False, top_p=1.0):
         fn = fn_key_fn(frontend, max_length, num_beams, top_k, constrained,
-                       int8_kv)
+                       int8_kv, top_p)
 
         def wrapped(params, clips, rng, lp):
             calls.append(int(clips.shape[0]))

@@ -39,6 +39,7 @@ class _WorkItem:
     seed: int
     constrained: bool = False
     int8_kv: bool = False
+    top_p: float = 1.0
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[List[int]]] = None
     error: Optional[BaseException] = None
@@ -60,13 +61,15 @@ class BatchingSegmenter(Segmenter):
 
     def _generate_tokens(self, clips, frontend, batch_size, max_length,
                          num_beams, top_k, length_penalty, seed,
-                         status_monitor, constrained=False, int8_kv=False):
+                         status_monitor, constrained=False, int8_kv=False,
+                         top_p=1.0):
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
                frontend.max_frequency, clips.shape[1], max_length, num_beams,
-               top_k, float(length_penalty), constrained, int8_kv)
+               top_k, float(length_penalty), constrained, int8_kv,
+               float(top_p))
         item = _WorkItem(np.asarray(clips, np.float32), key, frontend,
                          max_length, num_beams, top_k, float(length_penalty),
-                         seed, constrained, int8_kv)
+                         seed, constrained, int8_kv, float(top_p))
         self._queue.put(item)
         item.done.wait()
         if item.error is not None:
@@ -107,7 +110,8 @@ class BatchingSegmenter(Segmenter):
             try:
                 fn = self._segment_fn(head.frontend, head.max_length,
                                       head.num_beams, head.top_k,
-                                      head.constrained, head.int8_kv)
+                                      head.constrained, head.int8_kv,
+                                      head.top_p)
                 clips = np.concatenate([it.clips for it in group], axis=0)
                 n = clips.shape[0]
                 batch = self.max_batch_size

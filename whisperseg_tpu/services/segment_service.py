@@ -119,6 +119,10 @@ def main(argv=None):
     parser.add_argument("--continuous_batching", type=int, default=0,
                         help="admit concurrent requests and batch their "
                              "windows into shared device calls")
+    parser.add_argument("--draft_model_path", default=None,
+                        help="Small checkpoint enabling greedy speculative "
+                             "decoding (Segmenter.set_draft_model)")
+    parser.add_argument("--spec_k", default=4, type=int)
     parser.add_argument("--warmup", type=int, default=1,
                         help="pre-compile the model's default configuration "
                              "at startup (first-request latency)")
@@ -135,6 +139,8 @@ def main(argv=None):
     else:
         segmenter = Segmenter.from_pretrained(args.model_path)
         app = build_app(segmenter, args.batch_size)
+    if args.draft_model_path:
+        segmenter.set_draft_model(args.draft_model_path, spec_k=args.spec_k)
     if args.warmup:
         sr = segmenter.default_segmentation_config.get("sr", 32000)
         try:
