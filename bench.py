@@ -33,9 +33,10 @@ MODEL_SIZE = os.environ.get("BENCH_MODEL", "large")
 # the GQA-2 uptrained model scores frame F1 0.719 vs its MHA parent's 0.693
 # (RESULTS.md). BENCH_GQA=0 benches the MHA configuration.
 GQA_KV_HEADS = int(os.environ.get("BENCH_GQA", "4"))
-# Measured sweep (BENCH.md): GQA-4 plateaus at batch 192; MHA's 5x-larger
-# cross-KV stream OOMs 16 GB HBM past ~batch 96, so it defaults lower.
-BATCH = int(os.environ.get("BENCH_BATCH", "192" if GQA_KV_HEADS else "64"))
+# Measured sweep (BENCH.md): GQA-4 plateaus at batch 384 (with the
+# head-major encoder); MHA's 5x-larger cross-KV stream OOMs 16 GB HBM past
+# ~batch 96, so it defaults lower.
+BATCH = int(os.environ.get("BENCH_BATCH", "384" if GQA_KV_HEADS else "64"))
 MAX_LENGTH = int(os.environ.get("BENCH_MAX_LENGTH", "32"))
 AUDIO_SECONDS = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
 SR = 32000
