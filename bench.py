@@ -58,10 +58,12 @@ def main():
     # inference weights: int8 projections + bf16 rest by default (the decode
     # loop is HBM-bound on the weight stream; see Segmenter.inference_dtype)
     quant = os.environ.get("BENCH_QUANT", "int8")
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         from whisperseg_tpu.ops.quant import cast_float_leaves, quantize_params
 
-        params = cast_float_leaves(quantize_params(params), "bfloat16")
+        params = cast_float_leaves(
+            quantize_params(params, bits=8 if quant == "int8" else 4),
+            "bfloat16")
     else:
         params = jax.tree.map(lambda x: x.astype(jnp.dtype(quant)), params)
 

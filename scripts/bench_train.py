@@ -30,6 +30,11 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--remat", type=int, default=0)
     parser.add_argument("--gqa_kv_heads", type=int, default=0)
+    parser.add_argument("--optimizer", default="adamw",
+                        choices=["adamw", "adafactor"],
+                        help="adafactor: factored state; whisper-large fits "
+                             "a single 16 GB chip (AdamW state alone is "
+                             "~18.6 GB there)")
     args = parser.parse_args(argv)
 
     import jax
@@ -44,7 +49,8 @@ def main(argv=None):
     cfg.remat = bool(args.remat)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt, _ = make_optimizer(params, 1e-4, 0.01, 10, args.steps * 10,
-                            "linear", freeze_encoder=False)
+                            "linear", freeze_encoder=False,
+                            optimizer=args.optimizer)
     opt_state = opt.init(params)
     train_step = build_train_step(cfg, opt)
 
@@ -79,6 +85,7 @@ def main(argv=None):
         "unit": "steps/s",
         "model": args.model,
         "batch_size": b,
+        "optimizer": args.optimizer,
         "audio_seconds_per_second": round(audio_hours_per_hour, 2),
     }))
 

@@ -220,3 +220,49 @@ def test_freeze_encoder_keeps_encoder_constant(tmp_path):
                         jax.tree.leaves(params2["decoder"]))
     )
     assert moved
+
+
+def test_adafactor_trains_and_state_is_factored():
+    """--optimizer adafactor: loss decreases and the optimizer state carries
+    no full-size f32 moment per parameter (the memory property that lets
+    whisper-large train on a single chip)."""
+    import jax.numpy as jnp
+
+    from whisperseg_tpu.training.trainer import build_train_step, make_optimizer
+
+    cfg = WhisperConfig(
+        d_model=64, encoder_layers=2, decoder_layers=2, num_heads=4, d_ff=256,
+        vocab_size=1024, max_source_positions=32, max_target_positions=32,
+        total_spec_columns=64, compute_dtype="float32",
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    n_param_bytes = sum(x.size * 4 for x in jax.tree.leaves(params))
+
+    opt, _ = make_optimizer(params, 1e-3, 0.01, 0, 100, "linear", False,
+                            optimizer="adafactor")
+    opt_state = opt.init(params)
+    state_bytes = sum(
+        np.asarray(x).nbytes for x in jax.tree.leaves(opt_state))
+    # AdamW state would be 2x params; factored adafactor must be far below 1x
+    assert state_bytes < 0.5 * n_param_bytes
+
+    adam_opt, _ = make_optimizer(params, 1e-3, 0.01, 0, 100, "linear", False)
+    adam_bytes = sum(
+        np.asarray(x).nbytes for x in jax.tree.leaves(adam_opt.init(params)))
+    assert adam_bytes >= 2 * n_param_bytes  # the state adafactor eliminates
+
+    step = build_train_step(cfg, opt)
+    batch = {
+        "input_features": jnp.asarray(
+            np.random.RandomState(0).randn(2, 80, 64), jnp.float32),
+        "decoder_input_ids": jnp.ones((2, 8), jnp.int32),
+        "labels": jnp.ones((2, 8), jnp.int32),
+    }
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(50):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, batch, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+    assert np.isfinite(losses[-1])

@@ -37,6 +37,10 @@ def build_parser():
                              "decoding (requires --num_beams 1)")
     parser.add_argument("--spec_k", default=4, type=int,
                         help="Draft tokens per speculative step")
+    parser.add_argument("--compute_type", default="bfloat16",
+                        choices=["float32", "bfloat16", "int8", "int4"],
+                        help="Inference weight precision (int8 = CT2 "
+                             "int8_float16 counterpart; int4 = w4a16)")
     return parser
 
 
@@ -51,7 +55,8 @@ def main(argv=None):
     assert args.csv_save_path.endswith(".csv") or args.csv_save_path == "buffer", \
         "csv_save_path must end with .csv or be 'buffer'"
 
-    segmenter = Segmenter.from_pretrained(args.model_path)
+    segmenter = Segmenter.from_pretrained(
+        args.model_path, inference_dtype=args.compute_type)
     if args.draft_model_path:
         segmenter.set_draft_model(args.draft_model_path, spec_k=args.spec_k)
 

@@ -56,6 +56,10 @@ def build_parser():
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--freeze_encoder", type=int, default=0)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adafactor"],
+                   help="adafactor: factored second moments, near-zero "
+                        "optimizer state (fits whisper-large on one chip)")
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--clear_cluster_codebook", type=int, default=1)
@@ -100,6 +104,7 @@ def main(argv=None):
         weight_decay=a.weight_decay,
         warmup_steps=a.warmup_steps,
         freeze_encoder=bool(a.freeze_encoder),
+        optimizer=a.optimizer,
         dropout=a.dropout,
         num_workers=a.num_workers,
         clear_cluster_codebook=bool(a.clear_cluster_codebook),

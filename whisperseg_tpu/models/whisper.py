@@ -126,9 +126,9 @@ def _layer_norm(x, g, b, eps=1e-5):
 
 
 def _dot(x, w, cdt):
-    from ..ops.quant import QuantTensor, qdot
+    from ..ops.quant import Quant4Tensor, QuantTensor, qdot
 
-    if isinstance(w, QuantTensor):
+    if isinstance(w, (QuantTensor, Quant4Tensor)):
         return qdot(x, w)
     return jnp.dot(x.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32)
 
@@ -199,10 +199,12 @@ def _dropout(x, rate, rng):
 
 
 def _deq_full(w, cdt):
-    from ..ops.quant import QuantTensor
+    from ..ops.quant import Quant4Tensor, QuantTensor, unpack4
 
     if isinstance(w, QuantTensor):
         return w.values.astype(cdt) * w.scale.astype(cdt)
+    if isinstance(w, Quant4Tensor):
+        return unpack4(w, cdt)
     return w.astype(cdt)
 
 

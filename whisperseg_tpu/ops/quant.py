@@ -50,6 +50,47 @@ class QuantTensor:
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
+class Quant4Tensor:
+    """Group-wise symmetric int4 weight, packed two nibbles per int8 byte.
+
+    packed: int8, shape [..., in/2, out] — byte b at row i holds original rows
+    i (low nibble) and i + in/2 (high nibble), so unpacking is a sign-extend +
+    concat with NO interleave (original row order is restored by construction).
+    scale: float32, shape [..., in/group_size, out] (per-group along the
+    contraction dim; int4's 3-bit mantissa needs finer granularity than int8's
+    per-channel scales).
+
+    This is packed-int8 rather than jnp.int4 storage because the tunneled PJRT
+    plugin in this environment cannot transfer int4 buffers as jit arguments
+    (RecursionError in the plugin); the packed form is portable and byte-equal.
+    """
+
+    def __init__(self, packed, scale):
+        self.packed = packed
+        self.scale = scale
+
+    @property
+    def shape(self):  # logical (unpacked) shape
+        s = list(self.packed.shape)
+        s[-2] *= 2
+        return tuple(s)
+
+    @property
+    def ndim(self):
+        return self.packed.ndim
+
+    def astype(self, dtype):  # no-op: storage dtype is fixed
+        return self
+
+    def tree_flatten(self):
+        return (self.packed, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 def quantize(w, axis: int = -1) -> QuantTensor:
     """Symmetric per-channel int8 quantization along ``axis`` (the output dim)."""
     w = jnp.asarray(w, jnp.float32)
@@ -60,7 +101,66 @@ def quantize(w, axis: int = -1) -> QuantTensor:
     return QuantTensor(values, scale)
 
 
-def qdot(x, qt: QuantTensor, mode: str = "w8a16"):
+def quantize4(w, group_size: int = 128) -> Quant4Tensor:
+    """Symmetric group-wise int4 quantization along the contraction dim.
+
+    Range is [-7, 7] (symmetric; -8 unused) so dequantization is a pure
+    scale. Falls back to one group when the dim doesn't divide evenly (small
+    test models); all whisper projection dims are multiples of 128."""
+    w = jnp.asarray(w, jnp.float32)
+    k = w.shape[-2]
+    assert k % 2 == 0, "int4 packing needs an even contraction dim"
+    gs = group_size if k % group_size == 0 else k
+    groups = k // gs
+    batch = w.shape[:-2]
+    out = w.shape[-1]
+    wg = w.reshape(*batch, groups, gs, out)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = amax / 7.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(wg / safe), -7, 7).astype(jnp.int8)
+    q = q.reshape(*batch, k, out)
+    lo = jax.lax.slice_in_dim(q, 0, k // 2, axis=q.ndim - 2)
+    hi = jax.lax.slice_in_dim(q, k // 2, k, axis=q.ndim - 2)
+    packed = (hi * 16 + (lo & 15)).astype(jnp.int8)
+    return Quant4Tensor(packed, scale.reshape(*batch, groups, out))
+
+
+def unpack4(qt: Quant4Tensor, cdt=jnp.float32):
+    """Dequantize a Quant4Tensor to a dense [..., in, out] array of ``cdt``."""
+    p = qt.packed
+    hi = jnp.right_shift(p, 4).astype(jnp.int8)  # arithmetic shift: floor(p/16)
+    lo_u = (p & 15).astype(jnp.int8)
+    lo = lo_u - 16 * (lo_u > 7).astype(jnp.int8)
+    q = jnp.concatenate([lo, hi], axis=p.ndim - 2)
+    k = q.shape[-2]
+    groups = qt.scale.shape[-2]
+    gs = k // groups
+    batch = q.shape[:-2]
+    out = q.shape[-1]
+    w = q.astype(cdt).reshape(*batch, groups, gs, out)
+    w = w * qt.scale.reshape(*batch, groups, 1, out).astype(cdt)
+    return w.reshape(*batch, k, out)
+
+
+def qdot4(x, qt: Quant4Tensor):
+    """x [..., in] @ Quant4Tensor [in, out] -> float32 [..., out] (w4a16:
+    int4 storage, bf16 MXU matmul, f32 accumulation). The decode step's HBM
+    weight stream halves again vs w8a16."""
+    if (jax.default_backend() == "tpu" and qt.packed.ndim == 2
+            and _pallas_w4_ok(x.shape, qt.packed.shape)):
+        return _qdot_pallas_w4a16(x, qt)
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    w = unpack4(qt, cdt)
+    dims_last = x.ndim - 1
+    return jax.lax.dot_general(
+        x.astype(cdt), w,
+        dimension_numbers=(((dims_last,), (w.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def qdot(x, qt, mode: str = "w8a16"):
     """x [..., in] @ QuantTensor [in, out] -> float32 [..., out].
 
     mode="w8a16" (default): weight-only quantization — int8 weights are
@@ -74,6 +174,8 @@ def qdot(x, qt: QuantTensor, mode: str = "w8a16"):
     bf16 inside the decode scan (it misses the MXU fast path), so it is not the
     default.
     """
+    if isinstance(qt, Quant4Tensor):
+        return qdot4(x, qt)
     dims_last = x.ndim - 1
     if mode == "w8a16":
         if (jax.default_backend() == "tpu" and qt.values.ndim == 2
@@ -110,6 +212,17 @@ def qdot(x, qt: QuantTensor, mode: str = "w8a16"):
     return acc.astype(jnp.float32) * row_scale * scale
 
 
+def _pick_out_tile(out: int):
+    """Largest lane-aligned tile (<= 512) that DIVIDES out. The grid is
+    out // tile, so a non-dividing tile would leave the tail columns of the
+    output unwritten (garbage) — out=1280 with tile 512 covered only 1024
+    columns; whisper-large hits exactly this shape."""
+    for tile in (512, 384, 256, 128):
+        if out % tile == 0:
+            return tile
+    return None
+
+
 def _pallas_w8_ok(x_shape, w_shape) -> bool:
     """Fused kernel envelope: lane-aligned dims, weight tile fits VMEM, and a
     SMALL row count — the kernel keeps the whole activation block in VMEM, so
@@ -119,9 +232,10 @@ def _pallas_w8_ok(x_shape, w_shape) -> bool:
     m = 1
     for d in x_shape[:-1]:
         m *= d
+    tile = _pick_out_tile(out)
     return (
-        k_dim % 128 == 0 and out % 128 == 0 and 1 <= m <= 512
-        and k_dim * min(out, 512) <= 4 * 1024 * 1024  # int8 bytes per tile
+        tile is not None and k_dim % 128 == 0 and 1 <= m <= 512
+        and k_dim * tile <= 4 * 1024 * 1024  # int8 bytes per tile
     )
 
 
@@ -140,7 +254,7 @@ def _qdot_pallas_w8a16(x, qt: "QuantTensor"):
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
-    out_tile = min(out, 512)
+    out_tile = _pick_out_tile(out)
 
     def kernel(x_ref, w_ref, s_ref, o_ref):
         w = w_ref[:, :].astype(jnp.bfloat16) * s_ref[:, :].astype(jnp.bfloat16)
@@ -168,24 +282,98 @@ def _qdot_pallas_w8a16(x, qt: "QuantTensor"):
     return y[:m].reshape(*orig_shape[:-1], out)
 
 
+def _pallas_w4_ok(x_shape, packed_shape) -> bool:
+    """Same envelope as the w8 kernel (small-M, latency-bound decode steps);
+    the weight tile is half the bytes so the bound is on the UNPACKED size."""
+    k_half, out = packed_shape
+    k_dim = 2 * k_half
+    m = 1
+    for d in x_shape[:-1]:
+        m *= d
+    tile = _pick_out_tile(out)
+    return (
+        tile is not None and k_dim % 256 == 0 and 1 <= m <= 512
+        and k_dim * tile <= 4 * 1024 * 1024
+    )
+
+
+def _qdot_pallas_w4a16(x, qt: "Quant4Tensor"):
+    """Fused unpack-dequant-matmul: packed int4 nibbles are sign-extended and
+    scaled to bf16 *in VMEM*, so neither the int8-unpacked nor the bf16 weight
+    copy ever exists in HBM — the decode step streams exactly in/2 bytes per
+    weight element."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    k_half, out = qt.packed.shape
+    k_dim = 2 * k_half
+    groups = qt.scale.shape[0]
+    gs = k_dim // groups
+    x2 = x.reshape(-1, k_dim)
+    m = x2.shape[0]
+    m_pad = -(-m // 8) * 8
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    out_tile = _pick_out_tile(out)
+
+    def kernel(x_ref, p_ref, s_ref, o_ref):
+        # Mosaic has no 8-bit shifts (arith.shrsi fails to legalize); unpack
+        # in int32 and drop to bf16 immediately to bound VMEM temporaries.
+        p = p_ref[:, :].astype(jnp.int32)
+        hi = jnp.right_shift(p, 4).astype(jnp.bfloat16)
+        lo_u = p & 15
+        lo = (lo_u - 16 * (lo_u > 7)).astype(jnp.bfloat16)
+        q = jnp.concatenate([lo, hi], axis=0)  # [k, T], original row order
+        w = q.reshape(groups, gs, out_tile)
+        w = w * s_ref[:, :].astype(jnp.bfloat16)[:, None, :]
+        o_ref[:, :] = jnp.dot(
+            x_ref[:, :].astype(jnp.bfloat16), w.reshape(k_dim, out_tile),
+            preferred_element_type=jnp.float32,
+        )
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(out // out_tile,),
+        in_specs=[
+            pl.BlockSpec((m_pad, k_dim), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_half, out_tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, out_tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, out_tile), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, out), jnp.float32),
+    )(x2, qt.packed, qt.scale)
+
+    return y[:m].reshape(*orig_shape[:-1], out)
+
+
 _QUANT_LEAF_NAMES = {
     "q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w",
     "xq_w", "xk_w", "xv_w", "xo_w",
 }
 
 
-def quantize_params(params):
+def quantize_params(params, bits: int = 8):
     """Quantize all large projection weights of a model pytree for inference.
 
+    bits=8: per-output-channel int8 (the CT2 ``int8_float16`` counterpart).
+    bits=4: group-wise packed int4 (w4a16) — halves the weight stream again.
     Embeddings, convolutions, positions, norms, and biases stay in their
     floating dtype (they are small and/or used via gather)."""
+    quant_fn = {8: quantize, 4: quantize4}[bits]
+
     def walk(tree):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict):
                 out[k] = walk(v)
             elif k in _QUANT_LEAF_NAMES:
-                out[k] = quantize(v)
+                out[k] = quant_fn(v)
             else:
                 out[k] = v
         return out
@@ -201,7 +389,7 @@ def cast_float_leaves(params, dtype):
         for k, v in tree.items():
             if isinstance(v, dict):
                 out[k] = walk(v)
-            elif isinstance(v, QuantTensor):
+            elif isinstance(v, (QuantTensor, Quant4Tensor)):
                 out[k] = v
             elif hasattr(v, "astype") and jnp.issubdtype(v.dtype, jnp.floating):
                 out[k] = v.astype(dtype)

@@ -52,11 +52,15 @@ class Segmenter:
 
     def __init__(self, params, config: WhisperConfig,
                  inference_dtype: str = "bfloat16", mesh=None):
-        if inference_dtype == "int8":
-            # CT2 int8_float16 equivalent: int8 projection weights, bf16 rest
+        if inference_dtype in ("int8", "int4"):
+            # int8 = CT2 int8_float16 equivalent: int8 projection weights,
+            # bf16 rest. int4 = w4a16 group-wise packed weights (halves the
+            # decode weight stream again; beyond-reference capability).
             from .ops.quant import cast_float_leaves, quantize_params
 
-            params = cast_float_leaves(quantize_params(params), "bfloat16")
+            bits = 8 if inference_dtype == "int8" else 4
+            params = cast_float_leaves(
+                quantize_params(params, bits=bits), "bfloat16")
         elif inference_dtype is not None:
             import jax
             import jax.numpy as jnp
@@ -85,11 +89,12 @@ class Segmenter:
     # ------------------------------------------------------------------ plumbing
 
     @classmethod
-    def from_pretrained(cls, model_path: str) -> "Segmenter":
+    def from_pretrained(cls, model_path: str,
+                        inference_dtype: str = "bfloat16") -> "Segmenter":
         from .checkpoint import load_checkpoint
 
         params, config = load_checkpoint(model_path)
-        return cls(params, config)
+        return cls(params, config, inference_dtype=inference_dtype)
 
     def set_draft_model(self, model_path: str, spec_k: int = 4):
         """Enable greedy speculative decoding: a small draft checkpoint (e.g.

@@ -80,6 +80,8 @@ class TrainArgs:
     weight_decay: float = 0.01
     warmup_steps: int = 100
     freeze_encoder: bool = False
+    optimizer: str = "adamw"  # or "adafactor" (factored 2nd moment, ~0 state
+    #                           memory: lets whisper-large train on ONE chip)
     dropout: float = 0.0
     num_workers: int = 4  # parallel item-loading threads in the DataLoader
     clear_cluster_codebook: bool = True
@@ -146,7 +148,7 @@ def _decay_mask(params):
 
 def make_optimizer(params, learning_rate: float, weight_decay: float,
                    warmup_steps: int, total_steps: int, lr_schedule: str,
-                   freeze_encoder: bool):
+                   freeze_encoder: bool, optimizer: str = "adamw"):
     import optax
 
     if lr_schedule == "linear":
@@ -164,7 +166,26 @@ def make_optimizer(params, learning_rate: float, weight_decay: float,
         def schedule(step):
             return learning_rate
 
-    opt = optax.adamw(schedule, weight_decay=weight_decay, mask=_decay_mask(params))
+    if optimizer == "adafactor":
+        # Factored second moments (row+col statistics instead of a full f32
+        # moment per parameter) and no first moment: optimizer state drops
+        # from 2x params (AdamW, 12.4 GB for whisper-large) to ~per-row/-col
+        # vectors, which is what lets whisper-large train on a single 16 GB
+        # chip. Beyond-reference capability (the reference is AdamW-only,
+        # train.py:125-130); AdamW stays the default for parity.
+        opt = optax.adafactor(
+            learning_rate=schedule,
+            multiply_by_parameter_scale=False,  # keep the reference's LR scale
+            clipping_threshold=1.0,
+            min_dim_size_to_factor=32,  # whisper dims are all >= 384; keep
+            #                             small models factored too
+
+            weight_decay_rate=weight_decay if weight_decay else None,
+            weight_decay_mask=_decay_mask(params) if weight_decay else None,
+        )
+    else:
+        opt = optax.adamw(schedule, weight_decay=weight_decay,
+                          mask=_decay_mask(params))
     if freeze_encoder:
         def label(tree):
             return {"encoder": __import__("jax").tree.map(lambda _: "frozen",
@@ -292,6 +313,7 @@ def run_training(args: TrainArgs) -> Optional[str]:
     opt, schedule = make_optimizer(
         params, args.learning_rate, args.weight_decay, args.warmup_steps,
         args.max_num_iterations, args.lr_schedule, args.freeze_encoder,
+        optimizer=args.optimizer,
     )
 
     # size the data axis to the batch: use the largest divisor of batch_size
