@@ -21,6 +21,8 @@ def main(argv=None):
     parser.add_argument("--max_length", type=int, default=448)
     parser.add_argument("--num_beams", type=int, default=4)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--compute_type", default="bfloat16",
+                        choices=["float32", "bfloat16", "int8", "int4"])
     args = parser.parse_args(argv)
 
     from whisperseg_tpu.evaluate import evaluate_dataset
@@ -28,7 +30,7 @@ def main(argv=None):
     res = evaluate_dataset(
         args.dataset_folder, args.model_path, num_trials=args.num_trials,
         max_length=args.max_length, num_beams=args.num_beams,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, inference_dtype=args.compute_type,
     )
     print(json.dumps(res, indent=2))
 

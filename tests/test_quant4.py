@@ -216,3 +216,24 @@ def test_int4_model_generates_parseable_equal_transcript():
     qp = cast_float_leaves(quantize_params(params, bits=4), "bfloat16")
     out_int4 = np.asarray(generate(qp, cfg, feats, max_length=32))
     assert out_f32.tolist() == out_int4.tolist()
+
+
+def test_segmenter_int4_inference_dtype_runs_end_to_end():
+    """inference_dtype='int4' quantizes projections and still segments."""
+    from whisperseg_tpu.models import WhisperConfig, init_params
+    from whisperseg_tpu.ops.quant import Quant4Tensor
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = WhisperConfig(
+        d_model=64, encoder_layers=2, decoder_layers=2, num_heads=4, d_ff=128,
+        vocab_size=1024, max_source_positions=32, max_target_positions=64,
+        total_spec_columns=64, compute_dtype="float32",
+    )
+    cfg.cluster_codebook = {"Vocal": 0}
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    seg = Segmenter(params, cfg, inference_dtype="int4")
+    assert isinstance(seg.params["encoder"]["layers"]["q_w"], Quant4Tensor)
+    audio = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.05
+    res = seg.segment(audio, sr=16000, spec_time_step=0.01, num_beams=1,
+                      max_length=16, batch_size=4)
+    assert set(res) == {"onset", "offset", "cluster"}

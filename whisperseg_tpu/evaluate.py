@@ -59,7 +59,8 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
 
 def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      max_length: int = 448, num_beams: int = 4,
-                     batch_size: int = 8, **kwargs):
+                     batch_size: int = 8, inference_dtype: str = "bfloat16",
+                     **kwargs):
     """(reference evaluate.py:53-84)"""
     from .segmenter import Segmenter
 
@@ -72,7 +73,8 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
         audio_list.append(audio)
         label_list.append(label)
 
-    segmenter = Segmenter.from_pretrained(model_path)
+    segmenter = Segmenter.from_pretrained(model_path,
+                                          inference_dtype=inference_dtype)
     res = evaluate(audio_list, label_list, segmenter, batch_size, max_length,
                    num_trials, num_beams, target_cluster=None)
 

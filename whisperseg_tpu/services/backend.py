@@ -43,10 +43,12 @@ class BackendState:
     def __init__(self, dataset_base_folder: str, model_base_folder: str,
                  max_num_segmenters_in_ram: int = 1,
                  pretrained_models: Optional[List[dict]] = None,
-                 train_script: Optional[str] = None):
+                 train_script: Optional[str] = None,
+                 inference_dtype: str = "bfloat16"):
         self.dataset_base_folder = dataset_base_folder
         self.model_base_folder = model_base_folder
         self.max_num_segmenters_in_ram = max_num_segmenters_in_ram
+        self.inference_dtype = inference_dtype
         self.pretrained_models = pretrained_models or []
         self.train_script = train_script or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
@@ -152,7 +154,8 @@ class BackendState:
                 del self.running_segmenters[victim]
                 gc.collect()
             self.running_segmenters[model_name] = {
-                "usage": 0, "segmenter": Segmenter.from_pretrained(model_path)
+                "usage": 0, "segmenter": Segmenter.from_pretrained(
+                    model_path, inference_dtype=self.inference_dtype)
             }
         entry = self.running_segmenters[model_name]
         entry["usage"] += 1
@@ -348,10 +351,14 @@ def main(argv=None):
     parser.add_argument("--dataset_base_folder", type=str, required=True)
     parser.add_argument("--model_base_folder", type=str, required=True)
     parser.add_argument("--max_num_segmenters_in_ram", default=1, type=int)
+    parser.add_argument("--compute_type", default="bfloat16",
+                        choices=["float32", "bfloat16", "int8", "int4"],
+                        help="weight precision for served segmenters")
     args = parser.parse_args(argv)
 
     state = BackendState(args.dataset_base_folder, args.model_base_folder,
-                         args.max_num_segmenters_in_ram)
+                         args.max_num_segmenters_in_ram,
+                         inference_dtype=args.compute_type)
     threading.Thread(target=state.run_training_worker, daemon=True).start()
     threading.Thread(target=state.periodic_list_models, daemon=True).start()
     app = build_app(state)

@@ -242,13 +242,16 @@ def main(argv=None):
     parser.add_argument("--model_path", default=None,
                         help="load a model in-process (standalone demo mode)")
     parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--compute_type", default="bfloat16",
+                        choices=["float32", "bfloat16", "int8", "int4"])
     args = parser.parse_args(argv)
 
     segmenter = None
     if args.model_path:
         from ..segmenter import Segmenter
 
-        segmenter = Segmenter.from_pretrained(args.model_path)
+        segmenter = Segmenter.from_pretrained(
+            args.model_path, inference_dtype=args.compute_type)
     app = build_app(args.backend_address, segmenter, args.batch_size)
     print(f"GUI at http://0.0.0.0:{args.port}/")
     app.serve("0.0.0.0", args.port)

@@ -126,6 +126,10 @@ def main(argv=None):
     parser.add_argument("--warmup", type=int, default=1,
                         help="pre-compile the model's default configuration "
                              "at startup (first-request latency)")
+    parser.add_argument("--compute_type", default="bfloat16",
+                        choices=["float32", "bfloat16", "int8", "int4"],
+                        help="serving weight precision (int8 = CT2 "
+                             "int8_float16 counterpart; int4 = w4a16)")
     args = parser.parse_args(argv)
 
     if args.continuous_batching:
@@ -134,10 +138,12 @@ def main(argv=None):
 
         params, config = load_checkpoint(args.model_path)
         segmenter = BatchingSegmenter(params, config,
+                                      inference_dtype=args.compute_type,
                                       max_batch_size=args.batch_size)
         app = build_app(segmenter, args.batch_size, serialize=False)
     else:
-        segmenter = Segmenter.from_pretrained(args.model_path)
+        segmenter = Segmenter.from_pretrained(
+            args.model_path, inference_dtype=args.compute_type)
         app = build_app(segmenter, args.batch_size)
     if args.draft_model_path:
         segmenter.set_draft_model(args.draft_model_path, spec_k=args.spec_k)
