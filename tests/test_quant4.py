@@ -237,3 +237,69 @@ def test_segmenter_int4_inference_dtype_runs_end_to_end():
     res = seg.segment(audio, sr=16000, spec_time_step=0.01, num_beams=1,
                       max_length=16, batch_size=4)
     assert set(res) == {"onset", "offset", "cluster"}
+
+
+def test_ste_gradients_pass_through():
+    from whisperseg_tpu.ops.quant import ste_quant4, ste_quant8
+
+    w = jnp.asarray(np.random.RandomState(8).randn(64, 32), jnp.float32)
+    for ste in (ste_quant8, ste_quant4):
+        g = jax.grad(lambda x: (ste(x) * 3.0).sum())(w)
+        np.testing.assert_allclose(np.asarray(g), 3.0, rtol=0, atol=0)
+
+
+def test_qat_training_makes_int4_quantization_lossless():
+    """QAT-4 training: the forward already sees the int4 grid, so quantizing
+    the finished checkpoint to int4 reproduces the QAT model's transcript
+    exactly — the accuracy-recovery recipe for int4 inference."""
+    import optax
+
+    from whisperseg_tpu import codec
+    from whisperseg_tpu.decode import generate
+    from whisperseg_tpu.models import (
+        WhisperConfig, cross_entropy_loss, decoder_forward_train,
+        encoder_forward, init_params,
+    )
+    from whisperseg_tpu.ops.quant import (
+        cast_float_leaves, fake_quantize_params, quantize_params,
+    )
+    from whisperseg_tpu.training.trainer import build_train_step
+
+    cfg = WhisperConfig(
+        d_model=64, encoder_layers=2, decoder_layers=2, num_heads=4, d_ff=128,
+        vocab_size=1024, max_source_positions=32, max_target_positions=64,
+        total_spec_columns=64, compute_dtype="float32",
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    feats = jnp.asarray(np.random.RandomState(0).randn(1, 80, 64), jnp.float32)
+    target = codec.build_target_ids("unknown", [0.02, 0.2], [0.1, 0.4], [0, 1],
+                                    0.01, 64)
+    inputs, labels = codec.shift_for_training(target, max_length=16)
+    batch = {
+        "input_features": feats,
+        "decoder_input_ids": jnp.asarray([inputs], jnp.int32),
+        "labels": jnp.asarray([labels], jnp.int32),
+    }
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = build_train_step(cfg, opt, qat_bits=4)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(400):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, batch, sub)
+        losses.append(float(loss))
+    assert losses[-1] < 0.1  # QAT converges through the fake-quant grid
+
+    # transcript through the fake-quant forward (what training optimized)
+    out_fake = np.asarray(generate(fake_quantize_params(params, 4), cfg,
+                                   feats, max_length=32))
+    # transcript after REAL int4 quantization of the checkpoint
+    qp = quantize_params(params, bits=4)
+    out_int4 = np.asarray(generate(qp, cfg, feats, max_length=32))
+    assert out_fake.tolist() == out_int4.tolist()
+    # and it learned the target transcript
+    parsed = codec.parse_segments_from_ids(
+        [t for t in out_int4[0].tolist()], 0.01, {0: "a", 1: "b"})
+    assert len(parsed) == 2

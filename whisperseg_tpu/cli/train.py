@@ -60,6 +60,10 @@ def build_parser():
                    choices=["adamw", "adafactor"],
                    help="adafactor: factored second moments, near-zero "
                         "optimizer state (fits whisper-large on one chip)")
+    p.add_argument("--qat_bits", type=int, default=0, choices=[0, 4, 8],
+                   help="quantization-aware training: STE fake-quant on "
+                        "projection weights so the checkpoint is robust to "
+                        "--compute_type int4/int8 at inference")
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--clear_cluster_codebook", type=int, default=1)
@@ -105,6 +109,7 @@ def main(argv=None):
         warmup_steps=a.warmup_steps,
         freeze_encoder=bool(a.freeze_encoder),
         optimizer=a.optimizer,
+        qat_bits=a.qat_bits,
         dropout=a.dropout,
         num_workers=a.num_workers,
         clear_cluster_codebook=bool(a.clear_cluster_codebook),

@@ -352,6 +352,68 @@ def _qdot_pallas_w4a16(x, qt: "Quant4Tensor"):
     return y[:m].reshape(*orig_shape[:-1], out)
 
 
+# ------------------------------------------------------ quantization-aware training
+#
+# Fake-quantization with a straight-through estimator: the forward pass sees
+# exactly the dequantized grid the inference path will use (same quantize/
+# quantize4 functions), the backward pass treats it as identity. Training with
+# --qat_bits N makes the checkpoint robust to inference_dtype='intN' — the
+# uptraining counterpart of GQA's mean-pool conversion, for quantization.
+
+
+@jax.custom_vjp
+def ste_quant8(w):
+    qt = quantize(w)
+    return qt.values.astype(jnp.float32) * qt.scale
+
+
+def _ste8_fwd(w):
+    return ste_quant8(w), None
+
+
+def _ste8_bwd(_, g):
+    return (g,)
+
+
+ste_quant8.defvjp(_ste8_fwd, _ste8_bwd)
+
+
+@jax.custom_vjp
+def ste_quant4(w):
+    return unpack4(quantize4(w), jnp.float32)
+
+
+def _ste4_fwd(w):
+    return ste_quant4(w), None
+
+
+def _ste4_bwd(_, g):
+    return (g,)
+
+
+ste_quant4.defvjp(_ste4_fwd, _ste4_bwd)
+
+
+def fake_quantize_params(params, bits: int):
+    """Apply STE fake-quantization to the same projection leaves that
+    quantize_params would quantize — master weights stay f32 for the
+    optimizer; the forward sees the int grid."""
+    ste = {8: ste_quant8, 4: ste_quant4}[bits]
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif k in _QUANT_LEAF_NAMES:
+                out[k] = ste(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
 _QUANT_LEAF_NAMES = {
     "q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w",
     "xq_w", "xk_w", "xv_w", "xo_w",

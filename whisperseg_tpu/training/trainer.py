@@ -82,6 +82,9 @@ class TrainArgs:
     freeze_encoder: bool = False
     optimizer: str = "adamw"  # or "adafactor" (factored 2nd moment, ~0 state
     #                           memory: lets whisper-large train on ONE chip)
+    qat_bits: int = 0  # 4 or 8: quantization-aware training (STE fake-quant
+    #                    on projection weights; checkpoint stays f32 and
+    #                    becomes robust to inference_dtype='int4'/'int8')
     dropout: float = 0.0
     num_workers: int = 4  # parallel item-loading threads in the DataLoader
     clear_cluster_codebook: bool = True
@@ -199,13 +202,14 @@ def make_optimizer(params, learning_rate: float, weight_decay: float,
     return opt, schedule
 
 
-def build_train_step(cfg: WhisperConfig, opt):
+def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0):
     """The donated, jitted (fwd + bwd + AdamW) step.
 
     Sharding is carried by the *arguments*: params placed via
     ``parallel.shard_params`` and batches via ``parallel.batch_sharding``;
     GSPMD propagates layouts through the computation and inserts the gradient
-    all-reduce over ICI."""
+    all-reduce over ICI. ``qat_bits`` applies straight-through fake
+    quantization to projection weights inside the forward (QAT)."""
     import jax
     import optax
 
@@ -213,6 +217,10 @@ def build_train_step(cfg: WhisperConfig, opt):
         rng_enc, rng_dec = jax.random.split(rng)
 
         def loss_fn(p):
+            if qat_bits:
+                from ..ops.quant import fake_quantize_params
+
+                p = fake_quantize_params(p, qat_bits)
             enc = encoder_forward(p, cfg, batch["input_features"],
                                   train=cfg.dropout > 0, dropout_rng=rng_enc)
             logits = decoder_forward_train(p, cfg, enc, batch["decoder_input_ids"],
@@ -335,7 +343,7 @@ def run_training(args: TrainArgs) -> Optional[str]:
         batch_shd = batch_sharding(mesh)
     else:
         opt_state = opt.init(params)
-    train_step = build_train_step(cfg, opt)
+    train_step = build_train_step(cfg, opt, qat_bits=args.qat_bits)
 
     # ------------------------------------------------------------ logging setup
     metrics_path = os.path.join(args.model_folder, "metrics.jsonl")
