@@ -74,23 +74,25 @@ def main(argv=None):
         jnp.asarray(np.stack(clips), jnp.float32), cols)
     feats = jnp.asarray(np.asarray(feats))  # materialize once, off the clock
 
-    greedy_fn = jax.jit(lambda f: generate(
-        params, cfg, f, max_length=args.max_length, num_beams=1, top_k=1))
-    spec_fn = jax.jit(lambda f: generate_speculative(
-        params, cfg, dparams, dcfg, f, max_length=args.max_length,
-        spec_k=args.spec_k))
+    # params are jit ARGUMENTS, not closure captures: capturing bakes ~GBs of
+    # weights into the program as constants, which re-uploads them through the
+    # compile path (catastrophic over this environment's remote-compile tunnel)
+    greedy_fn = jax.jit(lambda p, f: generate(
+        p, cfg, f, max_length=args.max_length, num_beams=1, top_k=1))
+    spec_fn = jax.jit(lambda p, dp, f: generate_speculative(
+        p, cfg, dp, dcfg, f, max_length=args.max_length, spec_k=args.spec_k))
 
-    def run(fn):
-        out = np.asarray(fn(feats))  # device->host sync (DEVNOTES.md)
+    def run(fn, *fn_args):
+        out = np.asarray(fn(*fn_args))  # device->host sync (DEVNOTES.md)
         times = []
         for _ in range(args.passes):
             t0 = time.perf_counter()
-            out = np.asarray(fn(feats))
+            out = np.asarray(fn(*fn_args))
             times.append(time.perf_counter() - t0)
         return min(times), out
 
-    t_greedy, out_g = run(greedy_fn)
-    t_spec, out_s = run(spec_fn)
+    t_greedy, out_g = run(greedy_fn, params, feats)
+    t_spec, out_s = run(spec_fn, params, dparams, feats)
 
     from whisperseg_tpu import tokenizer as tok
     def lengths(out):

@@ -181,10 +181,14 @@ class Segmenter:
             cfg = self.config
 
             if use_spec:
-                dparams, dcfg = self.draft
+                # draft params ride as a jit argument via functools.partial-
+                # style binding at call time, NOT as a closure capture —
+                # captured pytrees are baked into the program as constants and
+                # re-uploaded through the compile path (GBs for real models).
+                dcfg = self.draft[1]
                 spec_k = self.spec_k
 
-                def fn(params, clips, rng, length_penalty):
+                def fn(params, dparams, clips, rng, length_penalty):
                     feats = frontend.features_for_clips(clips, total)
                     return generate_speculative(params, cfg, dparams, dcfg,
                                                 feats, max_length=max_length,
@@ -198,7 +202,15 @@ class Segmenter:
                                     length_penalty=length_penalty,
                                     constrained=constrained, int8_kv=int8_kv)
 
-            cache[key] = jax.jit(fn)
+            jitted = jax.jit(fn)
+            if use_spec:
+                def with_draft(params, clips, rng, length_penalty,
+                               _j=jitted, _self=self):
+                    return _j(params, _self.draft[0], clips, rng,
+                              length_penalty)
+
+                jitted = with_draft
+            cache[key] = jitted
         return cache[key]
 
     def _generate_tokens(
