@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Serving throughput/latency benchmark: concurrent clients against the
+segmentation HTTP service, with and without continuous batching.
+
+Spawns `segment_service` as a subprocess (pre-warmed), fires N concurrent
+clients each POSTing a real WAV `rounds` times, and reports wall-clock
+throughput (audio-seconds/second) and per-request latency percentiles.
+Continuous batching (services/batching.py) admits concurrent requests into
+shared device batches — the replacement for the reference's global request
+semaphore (reference segment_service.py:58-60) — so its win grows with
+concurrency.
+
+    python scripts/bench_serve.py --model_path ckpt --audio_path x.wav \
+        --clients 8 --rounds 3 --continuous_batching 1
+
+Prints ONE JSON line.
+"""
+
+import argparse
+import base64
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--audio_path", required=True)
+    parser.add_argument("--sr", type=int, default=32000)
+    parser.add_argument("--clients", type=int, default=8)
+    parser.add_argument("--rounds", type=int, default=3)
+    parser.add_argument("--port", type=int, default=8123)
+    parser.add_argument("--continuous_batching", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_length", type=int, default=100)
+    parser.add_argument("--startup_timeout", type=int, default=600)
+    args = parser.parse_args(argv)
+
+    from whisperseg_tpu.audio.io import get_audio_duration
+
+    duration = get_audio_duration(args.audio_path)
+    wav_b64 = base64.b64encode(open(args.audio_path, "rb").read()).decode()
+    body = json.dumps({
+        "audio_file_base64_string": wav_b64, "sr": args.sr,
+        "num_trials": 1, "num_beams": 1, "max_length": args.max_length,
+    }).encode()
+
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m",
+         "whisperseg_tpu.services.segment_service",
+         "--model_path", args.model_path, "--port", str(args.port),
+         "--continuous_batching", str(args.continuous_batching),
+         "--batch_size", str(args.batch_size), "--warmup", "1"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    base = f"http://127.0.0.1:{args.port}"
+    try:
+        deadline = time.time() + args.startup_timeout
+        while time.time() < deadline:
+            try:
+                urllib.request.urlopen(base + "/status", timeout=2)
+                break
+            except Exception:
+                time.sleep(2)
+        else:
+            raise RuntimeError("service did not become ready")
+
+        def post():
+            req = urllib.request.Request(
+                base + "/segment", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                json.load(resp)
+
+        post()  # compile/warm the exact request configuration
+
+        latencies = []
+        lock = threading.Lock()
+
+        def client():
+            for _ in range(args.rounds):
+                t0 = time.perf_counter()
+                post()
+                dt = time.perf_counter() - t0
+                with lock:
+                    latencies.append(dt)
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+    n = args.clients * args.rounds
+    latencies.sort()
+    print(json.dumps({
+        "metric": "serving_audio_seconds_per_second",
+        "value": round(n * duration / wall, 2),
+        "unit": "audio-s/s",
+        "requests": n,
+        "clients": args.clients,
+        "continuous_batching": bool(args.continuous_batching),
+        "audio_duration_s": round(duration, 2),
+        "latency_p50_s": round(latencies[len(latencies) // 2], 3),
+        "latency_p95_s": round(latencies[int(len(latencies) * 0.95) - 1], 3),
+        "wall_s": round(wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
