@@ -64,6 +64,10 @@ def main(argv=None):
     try:
         deadline = time.time() + args.startup_timeout
         while time.time() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"service exited during startup (code {proc.returncode})"
+                    " — run it in the foreground for the traceback")
             try:
                 urllib.request.urlopen(base + "/status", timeout=2)
                 break
@@ -73,24 +77,40 @@ def main(argv=None):
             raise RuntimeError("service did not become ready")
 
         def post():
+            """One request; returns the number of predicted segments.
+            The service answers 201 with an EMPTY prediction on any internal
+            error (reference behavior), so callers must check emptiness —
+            a benchmark of empty responses measures nothing."""
             req = urllib.request.Request(
                 base + "/segment", data=body,
                 headers={"Content-Type": "application/json"})
             with urllib.request.urlopen(req, timeout=600) as resp:
-                json.load(resp)
+                out = json.load(resp)
+            return len(out.get("onset", []))
 
-        post()  # compile/warm the exact request configuration
+        if post() == 0:  # compile/warm the exact request configuration
+            raise RuntimeError(
+                "warmup request returned an empty prediction — the service "
+                "hit an internal error (check model/audio compatibility)")
 
         latencies = []
+        errors = []
         lock = threading.Lock()
 
         def client():
             for _ in range(args.rounds):
                 t0 = time.perf_counter()
-                post()
+                try:
+                    nsegs = post()
+                    err = None if nsegs > 0 else "empty prediction"
+                except Exception as e:
+                    err = f"{type(e).__name__}: {e}"
                 dt = time.perf_counter() - t0
                 with lock:
-                    latencies.append(dt)
+                    if err is None:
+                        latencies.append(dt)
+                    else:
+                        errors.append(err)
 
         threads = [threading.Thread(target=client)
                    for _ in range(args.clients)]
@@ -104,8 +124,13 @@ def main(argv=None):
         proc.terminate()
         proc.wait(timeout=30)
 
-    n = args.clients * args.rounds
+    if errors:
+        print(json.dumps({"error": f"{len(errors)} failed requests",
+                          "examples": errors[:3]}))
+        sys.exit(1)
+    n = len(latencies)
     latencies.sort()
+    p95_idx = max(0, -(-n * 95 // 100) - 1)  # nearest-rank percentile
     print(json.dumps({
         "metric": "serving_audio_seconds_per_second",
         "value": round(n * duration / wall, 2),
@@ -114,8 +139,8 @@ def main(argv=None):
         "clients": args.clients,
         "continuous_batching": bool(args.continuous_batching),
         "audio_duration_s": round(duration, 2),
-        "latency_p50_s": round(latencies[len(latencies) // 2], 3),
-        "latency_p95_s": round(latencies[int(len(latencies) * 0.95) - 1], 3),
+        "latency_p50_s": round(latencies[n // 2], 3),
+        "latency_p95_s": round(latencies[p95_idx], 3),
         "wall_s": round(wall, 2),
     }))
 

@@ -33,8 +33,8 @@ def main(argv=None):
     parser.add_argument("--optimizer", default="adamw",
                         choices=["adamw", "adafactor"],
                         help="adafactor: factored state; whisper-large fits "
-                             "a single 16 GB chip (AdamW state alone is "
-                             "~18.6 GB there)")
+                             "a single 16 GB chip (f32 params + AdamW m/v "
+                             "total ~18.6 GB there)")
     args = parser.parse_args(argv)
 
     import jax

@@ -258,6 +258,8 @@ def test_adafactor_trains_and_state_is_factored():
         "decoder_input_ids": jnp.ones((2, 8), jnp.int32),
         "labels": jnp.ones((2, 8), jnp.int32),
     }
+    w_before = float(np.linalg.norm(
+        np.asarray(params["encoder"]["layers"]["fc1_w"])))
     losses = []
     rng = jax.random.PRNGKey(1)
     for i in range(50):
@@ -266,3 +268,9 @@ def test_adafactor_trains_and_state_is_factored():
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5
     assert np.isfinite(losses[-1])
+    # weight decay must be lr-scaled (AdamW semantics): optax.adafactor's
+    # weight_decay_rate applies POST-lr (1% absolute shrink per step at
+    # wd=0.01), which would erase ~40% of the norm over 50 steps
+    w_after = float(np.linalg.norm(
+        np.asarray(params["encoder"]["layers"]["fc1_w"])))
+    assert w_after > 0.7 * w_before

@@ -399,25 +399,32 @@ def fake_quantize_params(params, bits: int):
     quantize_params would quantize — master weights stay f32 for the
     optimizer; the forward sees the int grid."""
     ste = {8: ste_quant8, 4: ste_quant4}[bits]
-
-    def walk(tree):
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                out[k] = walk(v)
-            elif k in _QUANT_LEAF_NAMES:
-                out[k] = ste(v)
-            else:
-                out[k] = v
-        return out
-
-    return walk(params)
+    return _map_quant_leaves(params, ste)
 
 
 _QUANT_LEAF_NAMES = {
     "q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w",
     "xq_w", "xk_w", "xv_w", "xo_w",
 }
+
+
+def _map_quant_leaves(params, leaf_fn):
+    """Apply ``leaf_fn`` to every projection-weight leaf (the quantization
+    target set), recursing dicts. The single traversal shared by inference
+    quantization and QAT keeps their leaf selections identical — the
+    QAT-matches-inference guarantee depends on it."""
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif k in _QUANT_LEAF_NAMES:
+                out[k] = leaf_fn(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
 
 
 def quantize_params(params, bits: int = 8):
@@ -427,20 +434,7 @@ def quantize_params(params, bits: int = 8):
     bits=4: group-wise packed int4 (w4a16) — halves the weight stream again.
     Embeddings, convolutions, positions, norms, and biases stay in their
     floating dtype (they are small and/or used via gather)."""
-    quant_fn = {8: quantize, 4: quantize4}[bits]
-
-    def walk(tree):
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                out[k] = walk(v)
-            elif k in _QUANT_LEAF_NAMES:
-                out[k] = quant_fn(v)
-            else:
-                out[k] = v
-        return out
-
-    return walk(params)
+    return _map_quant_leaves(params, {8: quantize, 4: quantize4}[bits])
 
 
 def cast_float_leaves(params, dtype):

@@ -171,7 +171,8 @@ class Segmenter:
         from .decode import generate, generate_speculative
 
         use_spec = (getattr(self, "draft", None) is not None
-                    and num_beams <= 1 and top_k <= 1 and not constrained)
+                    and num_beams <= 1 and top_k <= 1 and not constrained
+                    and top_p >= 1.0 and not int8_kv)
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
                frontend.max_frequency, max_length, num_beams, top_k,
                constrained, int8_kv, use_spec, top_p)

@@ -91,6 +91,11 @@ def build_app(segmenter, batch_size: int = 8,
                     eps=info.get("eps", None),
                     num_trials=info.get("num_trials", 3),
                     batch_size=batch_size,
+                    # beyond the reference's request schema (which fixes
+                    # these server-side): optional decode knobs
+                    num_beams=info.get("num_beams", 4),
+                    max_length=info.get("max_length", 448),
+                    top_p=info.get("top_p", 1.0),
                 )
             except Exception:
                 print("Segmentation Error! Returning an empty prediction ...")

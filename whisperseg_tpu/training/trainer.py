@@ -172,20 +172,28 @@ def make_optimizer(params, learning_rate: float, weight_decay: float,
     if optimizer == "adafactor":
         # Factored second moments (row+col statistics instead of a full f32
         # moment per parameter) and no first moment: optimizer state drops
-        # from 2x params (AdamW, 12.4 GB for whisper-large) to ~per-row/-col
-        # vectors, which is what lets whisper-large train on a single 16 GB
-        # chip. Beyond-reference capability (the reference is AdamW-only,
-        # train.py:125-130); AdamW stays the default for parity.
-        opt = optax.adafactor(
-            learning_rate=schedule,
-            multiply_by_parameter_scale=False,  # keep the reference's LR scale
-            clipping_threshold=1.0,
-            min_dim_size_to_factor=32,  # whisper dims are all >= 384; keep
-            #                             small models factored too
-
-            weight_decay_rate=weight_decay if weight_decay else None,
-            weight_decay_mask=_decay_mask(params) if weight_decay else None,
-        )
+        # from 2x params (AdamW's m+v, 12.4 GB f32 for whisper-large; 18.6 GB
+        # counting the f32 master params too) to ~per-row/-col vectors, which
+        # is what lets whisper-large train on a single 16 GB chip. Beyond-
+        # reference capability (the reference is AdamW-only, train.py:125-130).
+        #
+        # Composed by hand rather than optax.adafactor because that preset
+        # applies weight_decay_rate AFTER learning-rate scaling — an absolute
+        # 1% weight shrink per step at wd=0.01 (~10^4x the AdamW semantics of
+        # the same flag), which destroys a real run. This chain mirrors
+        # optax.adamw's ordering: decay joins the update BEFORE the lr scale,
+        # so the effective decay is lr * wd, matching the reference's AdamW.
+        steps = [
+            optax.scale_by_factored_rms(
+                min_dim_size_to_factor=32),  # whisper dims all >= 384; keep
+            #                                  small test models factored too
+            optax.clip_by_block_rms(1.0),
+        ]
+        if weight_decay:
+            steps.append(optax.add_decayed_weights(
+                weight_decay, mask=_decay_mask(params)))
+        steps.append(optax.scale_by_learning_rate(schedule))
+        opt = optax.chain(*steps)
     else:
         opt = optax.adamw(schedule, weight_decay=weight_decay,
                           mask=_decay_mask(params))
