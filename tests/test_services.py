@@ -332,3 +332,34 @@ def test_training_queue_journal_survives_restart(tmp_path):
     (mb / "training_queue.json").write_text("{not json")
     revived3 = BackendState(str(ds), str(mb))
     assert revived3.training_request_queue == []
+
+
+def test_segment_service_forwards_decode_knobs(segment_server):
+    """num_beams / max_length / top_p request fields must reach the
+    segmenter (they were silently dropped once, which made the serving
+    bench measure num_beams=4/max_length=448 while claiming greedy)."""
+    addr, stub = segment_server
+    payload = {
+        "audio_file_base64_string":
+            base64.b64encode(wav_bytes()).decode("ascii"),
+        "sr": 16000,
+        "num_trials": 1,
+        "num_beams": 1,
+        "max_length": 100,
+        "top_p": 0.9,
+    }
+    r = requests.post(f"http://{addr}/segment", json=payload, timeout=30)
+    assert r.status_code == 201
+    call = stub.calls[-1]
+    assert call["num_beams"] == 1
+    assert call["max_length"] == 100
+    assert call["top_p"] == 0.9
+    # and the defaults match segment()'s when the fields are absent
+    payload2 = {k: v for k, v in payload.items()
+                if k not in ("num_beams", "max_length", "top_p")}
+    r = requests.post(f"http://{addr}/segment", json=payload2, timeout=30)
+    assert r.status_code == 201
+    call = stub.calls[-1]
+    assert call["num_beams"] == 4
+    assert call["max_length"] == 448
+    assert call["top_p"] == 1.0
