@@ -274,3 +274,47 @@ def test_dataloader_multiworker_matches_len():
     ds = VocalSegDataset(audios, labels, max_length=10, total_spec_columns=100)
     loader = DataLoader(ds, batch_size=2, drop_last=True, num_workers=4)
     assert len(list(loader)) == len(loader) == 4
+
+
+def test_dataloader_abandoned_iterator_releases_producer():
+    """run_training abandons the iterator at max_num_iterations; the
+    prefetch producer must terminate instead of blocking in q.put forever
+    (a parked thread at interpreter exit hung completed train.py processes,
+    which would stall the backend training queue)."""
+    import threading
+    import time
+
+    from whisperseg_tpu.data import DataLoader
+
+    class SlowDataset:
+        def __init__(self, n):
+            self.n = n
+            # frontend-bucketing key source used by _batch_indices
+            self.label_list = [{"sr": 16000, "spec_time_step": 0.01,
+                                "min_frequency": 0}] * n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            time.sleep(0.01)
+            return i
+
+        def collate(self, items):
+            return list(items)
+
+    before = set(threading.enumerate())
+    loader = DataLoader(SlowDataset(64), batch_size=2, shuffle=False,
+                        drop_last=False, num_workers=2)
+    it = iter(loader)
+    next(it)
+    next(it)
+    it.close()  # abandon mid-epoch (what `break` in a for-loop does on GC)
+
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        extra = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"producer threads leaked: {extra}"

@@ -409,24 +409,57 @@ class DataLoader:
 
         batches = self._batch_indices()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # The consumer routinely ABANDONS the iterator mid-epoch (run_training
+        # breaks at max_num_iterations). Without a stop signal the producer
+        # blocks forever in q.put — and a thread parked inside a device call
+        # at interpreter exit can hang process shutdown entirely (observed:
+        # a completed train.py lingering >30 min, which would stall the
+        # backend's training queue). The stop event + the generator's
+        # try/finally make abandonment release the producer promptly.
+        stop = threading.Event()
+
+        def _put(batch) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             if self.num_workers > 1:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idxs in batches:
+                        if stop.is_set():
+                            return
                         items = list(pool.map(self.dataset.__getitem__,
                                               [int(i) for i in idxs]))
-                        q.put(self.dataset.collate(items))
+                        if not _put(self.dataset.collate(items)):
+                            return
             else:
                 for idxs in batches:
+                    if stop.is_set():
+                        return
                     items = [self.dataset[int(i)] for i in idxs]
-                    q.put(self.dataset.collate(items))
-            q.put(None)
+                    if not _put(self.dataset.collate(items)):
+                        return
+            _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                return
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+            # drain so a producer blocked in put() wakes immediately
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=30)
