@@ -44,11 +44,13 @@ class BackendState:
                  max_num_segmenters_in_ram: int = 1,
                  pretrained_models: Optional[List[dict]] = None,
                  train_script: Optional[str] = None,
-                 inference_dtype: str = "bfloat16"):
+                 inference_dtype: str = "bfloat16",
+                 training_timeout: Optional[float] = None):
         self.dataset_base_folder = dataset_base_folder
         self.model_base_folder = model_base_folder
         self.max_num_segmenters_in_ram = max_num_segmenters_in_ram
         self.inference_dtype = inference_dtype
+        self.training_timeout = training_timeout
         self.pretrained_models = pretrained_models or []
         self.train_script = train_script or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
@@ -184,6 +186,9 @@ class BackendState:
                     model_folder = os.path.join(self.model_base_folder,
                                                 req["model_name"])
                     self.training_active = True
+                    # training_timeout bounds a wedged run (e.g. a process
+                    # hung at interpreter exit) so the sequential queue can
+                    # never stall permanently; None = wait forever
                     subprocess.run([
                         sys.executable, self.train_script,
                         "--initial_model_path", initial_model_path,
@@ -191,7 +196,7 @@ class BackendState:
                         "--model_folder", model_folder,
                         "--max_num_epochs", str(req["num_epochs"]),
                         "--ignore_cluster", str(req["ignore_cluster"]),
-                    ])
+                    ], timeout=self.training_timeout)
                     self.training_active = False
                     print("Training finished.")
                     with self.queue_lock:
@@ -354,11 +359,15 @@ def main(argv=None):
     parser.add_argument("--compute_type", default="bfloat16",
                         choices=["float32", "bfloat16", "int8", "int4"],
                         help="weight precision for served segmenters")
+    parser.add_argument("--training_timeout", type=float, default=None,
+                        help="kill a training job after this many seconds "
+                             "(default: no limit)")
     args = parser.parse_args(argv)
 
     state = BackendState(args.dataset_base_folder, args.model_base_folder,
                          args.max_num_segmenters_in_ram,
-                         inference_dtype=args.compute_type)
+                         inference_dtype=args.compute_type,
+                         training_timeout=args.training_timeout)
     threading.Thread(target=state.run_training_worker, daemon=True).start()
     threading.Thread(target=state.periodic_list_models, daemon=True).start()
     app = build_app(state)
