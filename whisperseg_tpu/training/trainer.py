@@ -444,7 +444,16 @@ def run_training(args: TrainArgs) -> Optional[str]:
                              "validate/score": score,
                              "validate/segment_score": seg_f1,
                              "validate/frame_score": frame_f1})
+                is_new_best = (not val_score_history
+                               or score > max(s for _, s in val_score_history))
                 val_score_history.append((current_step, score))
+                if is_new_best:
+                    # make best-validation selection real even without
+                    # --save_every: finalize_best_checkpoint can only pick
+                    # among SAVED checkpoints, so a validation best that was
+                    # never saved would silently fall back to the last step
+                    save_training_checkpoint(args.model_folder, params, cfg,
+                                             current_step, args.max_to_keep)
 
             if ((args.save_every is not None
                  and current_step % args.save_every == 0)
