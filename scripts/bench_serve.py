@@ -122,7 +122,12 @@ def main(argv=None):
         wall = time.perf_counter() - t0
     finally:
         proc.terminate()
-        proc.wait(timeout=30)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            # don't let a SIGTERM-ignoring service mask the benchmark result
+            proc.kill()
+            proc.wait(timeout=30)
 
     if errors:
         print(json.dumps({"error": f"{len(errors)} failed requests",

@@ -103,13 +103,20 @@ def save_training_checkpoint(
     config: WhisperConfig,
     step: int,
     max_to_keep: int = -1,
+    keep_step: Optional[int] = None,
 ) -> str:
     """Write ``model_folder/checkpoint-{step}`` and prune oldest beyond
-    ``max_to_keep`` (reference model.py:59-74)."""
+    ``max_to_keep`` (reference model.py:59-74).
+
+    ``keep_step`` (the current best-validation step) is exempt from pruning so
+    max_to_keep rotation cannot delete the checkpoint that
+    :func:`finalize_best_checkpoint` is later supposed to promote."""
     path = os.path.join(model_folder, f"checkpoint-{step}")
     save_checkpoint(path, params, config, step=step)
     if max_to_keep is not None and max_to_keep > 0:
-        ckpts = list_checkpoints(model_folder)
+        protected = (os.path.join(model_folder, f"checkpoint-{keep_step}")
+                     if keep_step is not None else None)
+        ckpts = [c for c in list_checkpoints(model_folder) if c != protected]
         for old in ckpts[:-max_to_keep]:
             shutil.rmtree(old, ignore_errors=True)
     return path
@@ -137,6 +144,8 @@ def finalize_best_checkpoint(model_folder: str, best_step: Optional[int]) -> Opt
     if best_step is not None:
         src = os.path.join(model_folder, f"checkpoint-{best_step}")
         if src not in ckpts:
+            print(f"Warning: best-validation checkpoint-{best_step} no longer "
+                  f"exists (pruned?); falling back to {ckpts[-1]}")
             src = ckpts[-1]
     else:
         src = ckpts[-1]

@@ -428,23 +428,29 @@ class DataLoader:
             return False
 
         def producer():
-            if self.num_workers > 1:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+            # An exception in __getitem__/collate must still wake the
+            # consumer: without a sentinel it would block in q.get() forever.
+            # The exception object itself is enqueued and re-raised there.
+            try:
+                if self.num_workers > 1:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for idxs in batches:
+                            if stop.is_set():
+                                return
+                            items = list(pool.map(self.dataset.__getitem__,
+                                                  [int(i) for i in idxs]))
+                            if not _put(self.dataset.collate(items)):
+                                return
+                else:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__,
-                                              [int(i) for i in idxs]))
+                        items = [self.dataset[int(i)] for i in idxs]
                         if not _put(self.dataset.collate(items)):
                             return
-            else:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    items = [self.dataset[int(i)] for i in idxs]
-                    if not _put(self.dataset.collate(items)):
-                        return
-            _put(None)
+                _put(None)
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -453,6 +459,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -175,6 +175,13 @@ def qdot(x, qt, mode: str = "w8a16"):
     default.
     """
     if isinstance(qt, Quant4Tensor):
+        # int4 params only support weight-only dequant (w4a16); a caller
+        # explicitly requesting another mode is misconfigured — fail loudly
+        # instead of silently serving w4a16.
+        if mode != "w8a16":
+            raise ValueError(f"mode={mode!r} is not supported for int4 "
+                             f"(Quant4Tensor) weights; only the default "
+                             f"weight-only path (w4a16) exists")
         return qdot4(x, qt)
     dims_last = x.ndim - 1
     if mode == "w8a16":

@@ -85,6 +85,9 @@ class TrainArgs:
     qat_bits: int = 0  # 4 or 8: quantization-aware training (STE fake-quant
     #                    on projection weights; checkpoint stays f32 and
     #                    becomes robust to inference_dtype='int4'/'int8')
+    timestamp_loss_weight: float = 1.0  # >1 upweights timestamp targets
+    timestamp_label_sigma: float = 0.0  # >0: Gaussian-soft timestamp targets
+    #                                     (stddev in spectrogram columns)
     dropout: float = 0.0
     num_workers: int = 4  # parallel item-loading threads in the DataLoader
     clear_cluster_codebook: bool = True
@@ -210,7 +213,9 @@ def make_optimizer(params, learning_rate: float, weight_decay: float,
     return opt, schedule
 
 
-def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0):
+def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0,
+                     timestamp_loss_weight: float = 1.0,
+                     timestamp_label_sigma: float = 0.0):
     """The donated, jitted (fwd + bwd + AdamW) step.
 
     Sharding is carried by the *arguments*: params placed via
@@ -233,7 +238,9 @@ def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0):
                                   train=cfg.dropout > 0, dropout_rng=rng_enc)
             logits = decoder_forward_train(p, cfg, enc, batch["decoder_input_ids"],
                                            train=cfg.dropout > 0, dropout_rng=rng_dec)
-            return cross_entropy_loss(logits, batch["labels"])
+            return cross_entropy_loss(logits, batch["labels"],
+                                      timestamp_weight=timestamp_loss_weight,
+                                      timestamp_sigma=timestamp_label_sigma)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -299,6 +306,18 @@ def run_training(args: TrainArgs) -> Optional[str]:
         (audio_list, label_list), (audio_list_val, label_list_val) = train_val_split(
             audio_list, label_list, args.val_ratio
         )
+        # Guard-rail: with a tiny validation split the early-stop / best-
+        # checkpoint signal is noise (observed: an 8000-step run whose val
+        # scores diverged from the true held-out trend, RESULTS.md). The
+        # reference has the same failure mode silently; we at least warn.
+        n_val_segments = int(sum(len(l.get("onset", [])) for l in label_list_val))
+        if len(audio_list_val) < 3 or n_val_segments < 50:
+            print(f"Warning: validation split is tiny ({len(audio_list_val)} "
+                  f"file(s), {n_val_segments} segment(s)). Validation F1 will "
+                  f"be noisy; early stopping and best-checkpoint selection may "
+                  f"pick a worse model than the last step. Consider a larger "
+                  f"--val_ratio, more data, or val_ratio=0 with a fixed "
+                  f"iteration budget.")
 
     audio_list, label_list = slice_audios_and_labels(
         audio_list, label_list, args.total_spec_columns
@@ -351,7 +370,10 @@ def run_training(args: TrainArgs) -> Optional[str]:
         batch_shd = batch_sharding(mesh)
     else:
         opt_state = opt.init(params)
-    train_step = build_train_step(cfg, opt, qat_bits=args.qat_bits)
+    train_step = build_train_step(
+        cfg, opt, qat_bits=args.qat_bits,
+        timestamp_loss_weight=args.timestamp_loss_weight,
+        timestamp_label_sigma=args.timestamp_label_sigma)
 
     # ------------------------------------------------------------ logging setup
     metrics_path = os.path.join(args.model_folder, "metrics.jsonl")
@@ -378,6 +400,7 @@ def run_training(args: TrainArgs) -> Optional[str]:
     current_step = 0
     loss_window: List[float] = []
     val_score_history: List = []
+    best_step: Optional[int] = None  # exempt from max_to_keep pruning
     early_stop = False
     progress = 0
     start_time = time.time()
@@ -452,14 +475,17 @@ def run_training(args: TrainArgs) -> Optional[str]:
                     # --save_every: finalize_best_checkpoint can only pick
                     # among SAVED checkpoints, so a validation best that was
                     # never saved would silently fall back to the last step
+                    best_step = current_step
                     save_training_checkpoint(args.model_folder, params, cfg,
-                                             current_step, args.max_to_keep)
+                                             current_step, args.max_to_keep,
+                                             keep_step=best_step)
 
             if ((args.save_every is not None
                  and current_step % args.save_every == 0)
                     or (args.save_per_epoch and count == len(loader) - 1)):
                 save_training_checkpoint(args.model_folder, params, cfg,
-                                         current_step, args.max_to_keep)
+                                         current_step, args.max_to_keep,
+                                         keep_step=best_step)
 
             if current_step >= 0.5 * args.max_num_iterations:
                 if (len(val_score_history) >= 3
@@ -471,7 +497,8 @@ def run_training(args: TrainArgs) -> Optional[str]:
                 if not os.path.exists(os.path.join(
                         args.model_folder, f"checkpoint-{current_step}")):
                     save_training_checkpoint(args.model_folder, params, cfg,
-                                             current_step, args.max_to_keep)
+                                             current_step, args.max_to_keep,
+                                             keep_step=best_step)
                 break
         if current_step >= args.max_num_iterations or early_stop:
             break
@@ -479,7 +506,6 @@ def run_training(args: TrainArgs) -> Optional[str]:
     json.dump({"progress": 100, "eta": "00:00:00"},
               open(os.path.join(args.model_folder, "status.json"), "w"))
 
-    best_step = None
     if val_score_history:
         best_step = sorted(val_score_history, key=lambda x: -x[1])[0][0]
     final = finalize_best_checkpoint(args.model_folder, best_step)
