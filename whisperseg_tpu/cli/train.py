@@ -64,6 +64,13 @@ def build_parser():
                    help="quantization-aware training: STE fake-quant on "
                         "projection weights so the checkpoint is robust to "
                         "--compute_type int4/int8 at inference")
+    p.add_argument("--timestamp_loss_weight", type=float, default=1.0,
+                   help=">1 upweights timestamp-token targets in the loss "
+                        "(boundary-accuracy lever; segment F1)")
+    p.add_argument("--timestamp_label_sigma", type=float, default=0.0,
+                   help=">0: replace one-hot timestamp targets with a "
+                        "discrete Gaussian over neighboring columns (stddev "
+                        "in columns) — distance-aware boundary loss")
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--clear_cluster_codebook", type=int, default=1)
@@ -110,6 +117,8 @@ def main(argv=None):
         freeze_encoder=bool(a.freeze_encoder),
         optimizer=a.optimizer,
         qat_bits=a.qat_bits,
+        timestamp_loss_weight=a.timestamp_loss_weight,
+        timestamp_label_sigma=a.timestamp_label_sigma,
         dropout=a.dropout,
         num_workers=a.num_workers,
         clear_cluster_codebook=bool(a.clear_cluster_codebook),

@@ -405,15 +405,55 @@ def decoder_forward_train(
     return logits
 
 
-def cross_entropy_loss(logits, labels, ignore_id: int = -100):
+def cross_entropy_loss(logits, labels, ignore_id: int = -100,
+                       timestamp_weight: float = 1.0,
+                       timestamp_sigma: float = 0.0):
     """Mean token cross-entropy with ``ignore_id`` masking (HF semantics:
-    mean over non-ignored target tokens; reference train.py:30-31)."""
+    mean over non-ignored target tokens; reference train.py:30-31).
+
+    Two beyond-reference knobs attack boundary accuracy directly (the
+    segment-wise F1 failure mode is onsets/offsets outside the +-10 ms
+    tolerance, not missing detections — RESULTS.md):
+
+    * ``timestamp_weight`` > 1 upweights timestamp-token targets relative to
+      cluster-digit / control tokens, spending more of the gradient budget on
+      the boundary predictions that segment-wise F1 scores.
+    * ``timestamp_sigma`` > 0 replaces the one-hot target of a timestamp token
+      with a discrete Gaussian over neighboring *columns* (stddev in columns,
+      truncated at 3 sigma, renormalized). Timestamp tokens are ordinal —
+      column 41 is a near-miss for column 40, not just "wrong" — but one-hot
+      CE treats all errors equally; the soft target makes the loss
+      distance-aware so near-misses cost less than far misses.
+    """
     mask = labels != ignore_id
     safe_labels = jnp.where(mask, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    total = jnp.sum(jnp.where(mask, nll, 0.0))
-    count = jnp.maximum(jnp.sum(mask), 1)
+
+    from ..tokenizer import NUM_TIMESTAMPS, TIMESTAMP_BASE
+
+    is_ts = (safe_labels >= TIMESTAMP_BASE) & (
+        safe_labels < TIMESTAMP_BASE + NUM_TIMESTAMPS)
+
+    if timestamp_sigma and timestamp_sigma > 0:
+        # static neighborhood: offsets [-K..K] in column space
+        K = max(1, int(math.ceil(3.0 * timestamp_sigma)))
+        offs = np.arange(-K, K + 1)
+        w = np.exp(-0.5 * (offs / timestamp_sigma) ** 2)
+        w = (w / w.sum()).astype(np.float32)
+        soft = jnp.zeros_like(nll)
+        for k, wk in zip(offs, w):
+            # out-of-range neighbors clip onto the edge column (mass preserved)
+            idx = jnp.clip(safe_labels + int(k), TIMESTAMP_BASE,
+                           TIMESTAMP_BASE + NUM_TIMESTAMPS - 1)
+            soft = soft - float(wk) * jnp.take_along_axis(
+                logp, idx[..., None], axis=-1)[..., 0]
+        nll = jnp.where(is_ts, soft, nll)
+
+    token_w = jnp.where(is_ts, jnp.float32(timestamp_weight), jnp.float32(1.0))
+    token_w = jnp.where(mask, token_w, 0.0)
+    total = jnp.sum(nll * token_w)
+    count = jnp.maximum(jnp.sum(token_w), 1e-6)
     return total / count
 
 
