@@ -37,6 +37,10 @@ def build_parser():
                              "decoding (requires --num_beams 1)")
     parser.add_argument("--spec_k", default=4, type=int,
                         help="Draft tokens per speculative step")
+    parser.add_argument("--max_length", default=448, type=int,
+                        help="decode token budget (reference model.py:411 "
+                             "default 448); models finetuned at "
+                             "--max_length 100 decode ~10x faster with 100")
     parser.add_argument("--compute_type", default="bfloat16",
                         choices=["float32", "bfloat16", "int8", "int4"],
                         help="Inference weight precision (int8 = CT2 "
@@ -65,6 +69,7 @@ def main(argv=None):
             audio, sr, min_frequency=args.min_frequency,
             spec_time_step=args.spec_time_step, num_trials=args.num_trials,
             batch_size=args.batch_size, num_beams=args.num_beams,
+            max_length=args.max_length,
         )
 
     if args.audio_path is None:

@@ -50,18 +50,27 @@ def build_target_ids(
     cluster_ids: Sequence[int],
     spec_time_step: float,
     total_spec_columns: int,
+    extra_token_ids: Dict[str, int] = None,
 ) -> List[int]:
     """Full decoder sequence for one training clip: prompt + species + segments + EOT.
 
     Equivalent to the reference's label-text construction + tokenization
     (reference datautils.py:354-368 + WhisperTokenizer.encode): the text
     ``<|species|><|on|>cid<|off|>...`` surrounded by the decoding prompt and EOT.
+
+    ``extra_token_ids`` (piece -> extended token id) makes cluster-id encoding
+    consistent with an imported HF checkpoint whose BPE merges multi-digit
+    cluster ids into single tokens — finetuning such an import then trains the
+    same target the original model generates.
     """
     ids: List[int] = list(tok.PROMPT_IDS)
     ids.append(tok.species_token(species))
     for onset, offset, cid in zip(onsets, offsets, cluster_ids):
         ids.append(tok.timestamp_id(time_to_col(onset, spec_time_step, total_spec_columns)))
-        ids.extend(cluster_digits(int(cid)))
+        if extra_token_ids:
+            ids.extend(tok.encode_cluster_string(str(int(cid)), extra_token_ids))
+        else:
+            ids.extend(cluster_digits(int(cid)))
         ids.append(tok.timestamp_id(time_to_col(offset, spec_time_step, total_spec_columns)))
     ids.append(tok.EOT_ID)
     return ids
@@ -87,6 +96,7 @@ def parse_segments_from_ids(
     ids: Sequence[int],
     spec_time_step: float,
     inverse_cluster_codebook: Dict[int, str],
+    extra_tokens: Sequence[str] = (),
 ) -> List[List]:
     """Scan a generated token sequence for (onset_ts, digits+, offset_ts) triples.
 
@@ -95,8 +105,17 @@ def parse_segments_from_ids(
     ``findall`` semantics), so a closing timestamp never opens the next segment.
     Unknown cluster ids and non-positive-length segments are dropped.
 
+    ``extra_tokens`` are extended-vocabulary digit pieces (ids >= VOCAB_SIZE) of
+    an imported HF checkpoint — a single token '12' contributes two digits to
+    the cluster id, exactly as the reference's text-level regex sees it.
+
     Returns a list of mutable ``[onset_seconds, offset_seconds, cluster_name]``.
     """
+    def digit_surface(t: int) -> str:
+        if tok.is_digit(t):
+            return str(t - tok.DIGIT_BASE)
+        return tok.extended_digits(t, extra_tokens)
+
     out: List[List] = []
     i = 0
     n = len(ids)
@@ -105,14 +124,14 @@ def parse_segments_from_ids(
             i += 1
             continue
         j = i + 1
-        digits: List[int] = []
-        while j < n and tok.is_digit(int(ids[j])):
-            digits.append(int(ids[j]))
+        digits = ""
+        while j < n and digit_surface(int(ids[j])):
+            digits += digit_surface(int(ids[j]))
             j += 1
         if digits and j < n and tok.is_timestamp(int(ids[j])):
             onset_col = int(ids[i]) - tok.TIMESTAMP_BASE
             offset_col = int(ids[j]) - tok.TIMESTAMP_BASE
-            cluster_id = int("".join(str(d) for d in digits))
+            cluster_id = int(digits)
             onset = col_to_time(onset_col, spec_time_step)
             offset = col_to_time(offset_col, spec_time_step)
             if cluster_id in inverse_cluster_codebook and offset - onset > 0:

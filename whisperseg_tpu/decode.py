@@ -56,10 +56,15 @@ _TS0 = tok.TIMESTAMP_BASE
 _TS1 = tok.TIMESTAMP_BASE + tok.NUM_TIMESTAMPS
 
 
-def _grammar_mask(mode, last_col, vocab: int):
-    """mode [B], last_col [B] -> allowed-token bool mask [B, V]."""
+def _grammar_mask(mode, last_col, vocab: int, n_extra: int = 0):
+    """mode [B], last_col [B] -> allowed-token bool mask [B, V].
+
+    ``n_extra`` extended tokens (ids >= tok.VOCAB_SIZE, imported multi-digit
+    cluster pieces) are digit-class; vocabulary padding rows beyond them stay
+    disallowed."""
     ids = jnp.arange(vocab)
-    is_digit = (ids >= 0) & (ids < 10)
+    is_digit = ((ids >= 0) & (ids < 10)) | (
+        (ids >= tok.VOCAB_SIZE) & (ids < tok.VOCAB_SIZE + n_extra))
     is_ts = (ids >= _TS0) & (ids < _TS1)
     is_species = (ids >= tok.SPECIES_BASE) & (ids < tok.SPECIES_BASE + 7)
     is_eot = ids == tok.EOT_ID
@@ -77,9 +82,10 @@ def _grammar_mask(mode, last_col, vocab: int):
     )
 
 
-def _grammar_step(mode, last_col, token):
+def _grammar_step(mode, last_col, token, n_extra: int = 0):
     """Advance (mode, last_col) given the emitted token [B]."""
-    is_digit = (token >= 0) & (token < 10)
+    is_digit = ((token >= 0) & (token < 10)) | (
+        (token >= tok.VOCAB_SIZE) & (token < tok.VOCAB_SIZE + n_extra))
     is_ts = (token >= _TS0) & (token < _TS1)
     col = jnp.where(is_ts, token - _TS0, last_col)
     new_mode = jnp.where(
@@ -181,12 +187,14 @@ def _generate_greedy(params, cfg, enc_out, rng, max_length: int, top_k: int,
     mode = jnp.zeros((batch,), jnp.int32)
     last_col = jnp.zeros((batch,), jnp.int32)
 
+    n_extra = len(cfg.extra_tokens)
+
     def pick(logits, rng_sub, mode, last_col):
         if constrained:
-            mask = _grammar_mask(mode, last_col, vocab)
+            mask = _grammar_mask(mode, last_col, vocab, n_extra)
             logits = jnp.where(mask, logits, NEG_INF)
         nxt = _sample_or_argmax(logits, top_k, rng_sub, top_p)
-        mode2, col2 = _grammar_step(mode, last_col, nxt)
+        mode2, col2 = _grammar_step(mode, last_col, nxt, n_extra)
         return nxt, mode2, col2
 
     logits, ck, cv = decoder_step(params, cfg, xk, xv, prompt, jnp.int32(0),

@@ -43,6 +43,10 @@ class WhisperConfig:
 
     # --- segmentation metadata (persisted with checkpoints) ---
     total_spec_columns: int = DEFAULT_TOTAL_SPEC_COLUMNS
+    # Extended-vocabulary surfaces for ids >= tokenizer.VOCAB_SIZE: multi-digit
+    # cluster BPE pieces of an imported HF checkpoint ('12', '17', ...). Empty
+    # for natively trained models. vocab_size covers them (128-padded).
+    extra_tokens: list = field(default_factory=list)
     cluster_codebook: Dict[str, int] = field(default_factory=dict)
     default_segmentation_config: Dict[str, Any] = field(default_factory=dict)
     current_step: int = 0
@@ -75,6 +79,9 @@ class WhisperConfig:
             self.max_source_positions, self.max_target_positions,
             self.dropout, self.compute_dtype, self.total_spec_columns,
             self.remat,
+            # the COUNT of extended tokens shapes the traced grammar mask
+            # (decode.py); their surfaces are host-side-only
+            len(self.extra_tokens),
         )
 
     def __hash__(self):

@@ -49,17 +49,98 @@ def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"no model weights found under {model_dir}")
 
 
-def build_token_map(tokenizer_dir: str) -> Dict[int, int]:
-    """our_token_id -> hf_token_id using the vocab files saved with a HF checkpoint."""
+def _load_hf_vocab(tokenizer_dir: str) -> Dict[str, int]:
+    """token string -> hf id from vocab.json + added_tokens.json."""
+    vocab: Dict[str, int] = {}
     vocab_path = os.path.join(tokenizer_dir, "vocab.json")
     added_path = os.path.join(tokenizer_dir, "added_tokens.json")
-    vocab: Dict[str, int] = {}
     if os.path.exists(vocab_path):
         vocab.update(json.load(open(vocab_path)))
     if os.path.exists(added_path):
         vocab.update(json.load(open(added_path)))
     if not vocab:
         raise FileNotFoundError(f"no vocab.json/added_tokens.json under {tokenizer_dir}")
+    return vocab
+
+
+def _load_merge_ranks(tokenizer_dir: str) -> Dict[tuple, int]:
+    """(left, right) -> merge priority from merges.txt (lower merges first)."""
+    path = os.path.join(tokenizer_dir, "merges.txt")
+    ranks: Dict[tuple, int] = {}
+    if not os.path.exists(path):
+        return ranks
+    with open(path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#version"):
+                continue
+            parts = line.split(" ")
+            if len(parts) == 2:
+                ranks[(parts[0], parts[1])] = i
+    return ranks
+
+
+def bpe_encode_digits(digits: str, merge_ranks: Dict[tuple, int]):
+    """Byte-pair-encode an all-digit pretoken exactly as a GPT2-style HF
+    tokenizer does (ASCII digits are fixed points of the byte encoder, and the
+    GPT2 pretokenizer groups a digit run into one pretoken): repeatedly merge
+    the lowest-rank adjacent pair. Returns the list of piece strings.
+
+    This is how the reference's frozen BPE vocabulary turns a multi-digit
+    cluster id into a SINGLE token (e.g. '12'), which is why reference
+    finetunes with cluster ids >= 10 were unmappable onto the compact
+    digit-token vocabulary before extended tokens existed (PARITY.md)."""
+    word = list(digits)
+    while len(word) > 1:
+        best_rank, best_pair = None, None
+        for pair in zip(word, word[1:]):
+            r = merge_ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        merged = []
+        i = 0
+        while i < len(word):
+            if (i + 1 < len(word)
+                    and (word[i], word[i + 1]) == best_pair):
+                merged.append(word[i] + word[i + 1])
+                i += 2
+            else:
+                merged.append(word[i])
+                i += 1
+        word = merged
+    return word
+
+
+def derive_extra_tokens(tokenizer_dir: str, cluster_int_ids) -> Dict[str, int]:
+    """Multi-digit BPE pieces (piece -> hf id) needed to represent the given
+    cluster integer ids the way the checkpoint's own tokenizer does.
+
+    The reference embeds the integer cluster id in the transcript text
+    (reference datautils.py:359-368); its BPE merges '12' into one token, so an
+    imported finetune *generates* that single token. Each such piece gets an
+    extended row in our vocabulary (ids >= tokenizer.VOCAB_SIZE)."""
+    vocab = _load_hf_vocab(tokenizer_dir)
+    ranks = _load_merge_ranks(tokenizer_dir)
+    extras: Dict[str, int] = {}
+    for cid in sorted({int(c) for c in cluster_int_ids}):
+        s = str(cid)
+        if len(s) < 2:
+            continue
+        pieces = [s] if s in vocab and not ranks else bpe_encode_digits(s, ranks)
+        for piece in pieces:
+            if len(piece) > 1 and piece in vocab and piece not in extras:
+                extras[piece] = vocab[piece]
+    return extras
+
+
+def build_token_map(tokenizer_dir: str,
+                    extra_tokens: Optional[list] = None) -> Dict[int, int]:
+    """our_token_id -> hf_token_id using the vocab files saved with a HF
+    checkpoint. ``extra_tokens`` (ordered multi-digit piece surfaces) map onto
+    extended ids ``VOCAB_SIZE + i``."""
+    vocab = _load_hf_vocab(tokenizer_dir)
 
     mapping: Dict[int, int] = {}
     for our_id, token in enumerate(tok.ID_TO_TOKEN):
@@ -68,6 +149,9 @@ def build_token_map(tokenizer_dir: str) -> Dict[int, int]:
     # our pad has no HF equivalent by name; whisper uses eot as pad
     if tok.PAD_ID not in mapping and "<|endoftext|>" in vocab:
         mapping[tok.PAD_ID] = vocab["<|endoftext|>"]
+    for i, piece in enumerate(extra_tokens or []):
+        if piece in vocab:
+            mapping[tok.VOCAB_SIZE + i] = vocab[piece]
     return mapping
 
 
@@ -199,16 +283,45 @@ def params_from_hf_state_dict(
     return jax.tree.map(jnp.asarray, params)
 
 
-def import_hf_checkpoint(model_dir: str, total_spec_columns: int = 1000):
-    """Full import of a HF Whisper checkpoint directory -> (params, config)."""
+def import_hf_checkpoint(model_dir: str,
+                         total_spec_columns: Optional[int] = 1000):
+    """Full import of a HF Whisper checkpoint directory -> (params, config).
+
+    Beyond the architecture weights this also imports the segmentation
+    metadata the reference persists inside the HF config object —
+    ``cluster_codebook``, ``species_codebook`` implicit via species tokens,
+    ``default_segmentation_config``, ``total_spec_columns``, ``current_step``
+    (reference model.py:86-108, train.py:145-149) — so an imported reference
+    finetune is immediately usable for segmentation. Multi-digit cluster ids
+    get extended vocabulary rows with embeddings gathered from the
+    checkpoint's own BPE pieces (see :func:`derive_extra_tokens`)."""
     from transformers import WhisperConfig as HFConfig
 
     hf_cfg = HFConfig.from_pretrained(model_dir)
+    raw = {}
+    cfg_path = os.path.join(model_dir, "config.json")
+    if os.path.exists(cfg_path):
+        raw = json.load(open(cfg_path))
+    if total_spec_columns is None:
+        total_spec_columns = int(raw.get("total_spec_columns", 1000))
     cfg = config_from_hf(hf_cfg, total_spec_columns)
+    cfg.cluster_codebook = dict(raw.get("cluster_codebook", {}) or {})
+    cfg.default_segmentation_config = dict(
+        raw.get("default_segmentation_config", {}) or {})
+    cfg.current_step = int(raw.get("current_step", 0) or 0)
+
     sd = load_hf_state_dict(model_dir)
+    token_map = None
     try:
-        token_map = build_token_map(model_dir)
+        extras = derive_extra_tokens(model_dir, cfg.cluster_codebook.values())
+        cfg.extra_tokens = list(extras.keys())
+        if cfg.extra_tokens:
+            # extended rows live right after the compact vocab; pad the row
+            # count to the next multiple of 128 (one MXU lane tile)
+            n = len(cfg.extra_tokens)
+            cfg.vocab_size = tok.VOCAB_SIZE + ((n + 127) // 128) * 128
+        token_map = build_token_map(model_dir, cfg.extra_tokens)
     except FileNotFoundError:
-        token_map = None
+        pass
     params = params_from_hf_state_dict(sd, cfg, token_map)
     return params, cfg

@@ -298,7 +298,9 @@ class Segmenter:
         inverse = self.inverse_cluster_codebook
         per_trial_windows: Dict[int, List[List[List]]] = {}
         for tokens, (trial_id, offset_time, _dur) in zip(token_lists, meta):
-            segs = codec.parse_segments_from_ids(tokens, spec_time_step, inverse)
+            segs = codec.parse_segments_from_ids(
+                tokens, spec_time_step, inverse,
+                extra_tokens=self.config.extra_tokens)
             for s in segs:
                 s[0] += offset_time
                 s[1] += offset_time

@@ -122,16 +122,61 @@ def encode_text(text: str) -> List[int]:
     return ids
 
 
-def decode_ids(ids: Sequence[int], skip_special_tokens: bool = False) -> str:
+def decode_ids(ids: Sequence[int], skip_special_tokens: bool = False,
+               extra_tokens: Sequence[str] = ()) -> str:
     """Token ids -> text. Mirrors tokenizer.batch_decode(skip_special_tokens=False)
-    of the reference (reference model.py:620)."""
+    of the reference (reference model.py:620).
+
+    ``extra_tokens`` are the checkpoint-specific extended-vocabulary surfaces
+    for ids >= VOCAB_SIZE (multi-digit cluster BPE pieces imported from a
+    reference finetune; see models/convert_hf.build_token_map — reference
+    checkpoints tokenize cluster ids >= 10 as single BPE tokens like '12').
+    """
     parts = []
     for i in ids:
         i = int(i)
-        if not 0 <= i < VOCAB_SIZE:
+        if 0 <= i < VOCAB_SIZE:
+            tok = ID_TO_TOKEN[i]
+        elif VOCAB_SIZE <= i < VOCAB_SIZE + len(extra_tokens):
+            tok = extra_tokens[i - VOCAB_SIZE]
+        else:
             continue
-        tok = ID_TO_TOKEN[i]
         if skip_special_tokens and tok.startswith("<|"):
             continue
         parts.append(tok)
     return "".join(parts)
+
+
+def extended_digits(token_id: int, extra_tokens: Sequence[str]) -> str:
+    """Digit surface of an extended token id, or '' if not an extended digit
+    token. All extended tokens are all-digit by construction (they exist only
+    to mirror multi-digit cluster BPE pieces of imported HF checkpoints)."""
+    k = token_id - VOCAB_SIZE
+    if 0 <= k < len(extra_tokens) and extra_tokens[k].isdigit():
+        return extra_tokens[k]
+    return ""
+
+
+def encode_cluster_string(digits: str, extra_token_ids: Dict[str, int]) -> List[int]:
+    """Encode a cluster-id digit string into token ids, preferring extended
+    (multi-digit) tokens via greedy longest-match-from-left — the same result
+    byte-pair merges produce for the pieces we imported. Falls back to
+    per-digit tokens ('12' -> [1, 2]) when no extended piece matches, which is
+    the native compact-vocabulary encoding."""
+    ids: List[int] = []
+    i = 0
+    n = len(digits)
+    while i < n:
+        match = None
+        for j in range(n, i, -1):  # longest piece first
+            piece = digits[i:j]
+            if len(piece) > 1 and piece in extra_token_ids:
+                match = (extra_token_ids[piece], j)
+                break
+        if match is None:
+            ids.append(DIGIT_BASE + (ord(digits[i]) - ord("0")))
+            i += 1
+        else:
+            ids.append(match[0])
+            i = match[1]
+    return ids
