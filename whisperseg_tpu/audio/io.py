@@ -5,6 +5,12 @@ datautils.py:116). Neither librosa nor soundfile is available in this environmen
 so WAV decoding is built on the stdlib ``wave`` header parser + numpy, and
 resampling on a polyphase FIR resampler (scipy.signal.resample_poly), which is
 numerically very close to librosa's default soxr_hq path.
+
+Compressed containers (the reference accepts mp3 uploads — demo.py:78 — and
+anything librosa reads in the service/data layer): FLAC via the from-scratch
+codec in ``audio/flac.py``; mp3/ogg via the SDL2_mixer backend in
+``audio/formats.py`` with a clear error when that backend is absent. Format
+dispatch is by magic bytes, not file extension, so stdin/base64 payloads work.
 """
 
 from __future__ import annotations
@@ -147,8 +153,25 @@ def load_audio(
 
     ``mono=True`` averages channels (librosa semantics); ``channel_id`` selects one
     channel from a multi-channel file (reference segment_service.py:76-80).
+
+    Accepts wav/flac/mp3/ogg — dispatched on magic bytes (see audio/formats.py).
     """
-    y, native_sr = read_wav(path_or_bytes)
+    from .formats import decode_compressed, sniff_format
+
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        head = bytes(path_or_bytes[:16])
+    elif hasattr(path_or_bytes, "read"):
+        path_or_bytes.seek(0)
+        head = path_or_bytes.read(16)
+        path_or_bytes.seek(0)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            head = f.read(16)
+    fmt = sniff_format(head)
+    if fmt in ("flac", "mp3", "ogg"):
+        y, native_sr = decode_compressed(path_or_bytes, fmt)
+    else:
+        y, native_sr = read_wav(path_or_bytes)
     if channel_id is not None and y.shape[1] > 1:
         y = y[:, channel_id:channel_id + 1]
     if mono or y.shape[1] == 1:
@@ -163,22 +186,34 @@ def load_audio(
 
 
 def get_sampling_rate(path: str) -> int:
-    """Header-only sampling-rate probe (reference audio_utils.py:19-22)."""
+    """Header-only sampling-rate probe (reference audio_utils.py:19-22),
+    covering wav/flac/mp3/ogg."""
     try:
         with wave.open(path, "rb") as w:
             return w.getframerate()
     except wave.Error:
         out = _read_wav_ieee_float(path)
-        if out is None:
-            raise
-        return out[1]
+        if out is not None:
+            return out[1]
+        from .formats import probe_sampling_rate
+
+        with open(path, "rb") as f:
+            return probe_sampling_rate(f.read())
 
 
 def get_audio_duration(path: str) -> float:
-    """Header-only duration probe in seconds (reference audio_utils.py:24-30)."""
+    """Header-only duration probe in seconds (reference audio_utils.py:24-30),
+    covering wav/flac/mp3/ogg."""
     try:
         with wave.open(path, "rb") as w:
             return w.getnframes() / w.getframerate()
     except wave.Error:
-        y, sr = read_wav(path)
-        return len(y) / sr
+        with open(path, "rb") as f:
+            data = f.read()
+        out = _read_wav_ieee_float(data)
+        if out is not None:
+            y, sr = out
+            return len(y) / sr
+        from .formats import probe_duration
+
+        return probe_duration(data)

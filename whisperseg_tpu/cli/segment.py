@@ -1,9 +1,10 @@
 """Segmentation CLI (flag/CSV-compatible with reference scripts/segment.py).
 
-Supports a single --audio_path (``-`` = WAV bytes on stdin), or an --audio_folder
-(*.wav + *.WAV, prepending a ``filename`` column), writing CSV to a path or to
-stdout with ``--csv_save_path buffer``. The reference's --device/--device_ids GPU
-flags are accepted for compatibility; device placement on TPU is automatic.
+Supports a single --audio_path (``-`` = audio bytes on stdin), or an
+--audio_folder (wav/flac/mp3/ogg, prepending a ``filename`` column), writing
+CSV to a path or to stdout with ``--csv_save_path buffer``. The reference's
+--device/--device_ids GPU flags are accepted for compatibility; device
+placement on TPU is automatic.
 """
 
 from __future__ import annotations
@@ -13,6 +14,22 @@ import io
 import os
 import sys
 from glob import glob
+
+
+def _respect_jax_platforms_env():
+    """Honor JAX_PLATFORMS even when a PJRT plugin (axon) force-prepends itself
+    to jax_platforms at import time (see DEVNOTES.md)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+_respect_jax_platforms_env()
 
 
 def build_parser():
@@ -75,8 +92,9 @@ def main(argv=None):
     if args.audio_path is None:
         assert args.audio_folder is not None, \
             "Either audio_path or audio_folder needs to be specified!"
-        paths = sorted(glob(os.path.join(args.audio_folder, "*.wav"))
-                       + glob(os.path.join(args.audio_folder, "*.WAV")))
+        paths = sorted(sum((glob(os.path.join(args.audio_folder, pat))
+                            for pat in ("*.wav", "*.WAV", "*.flac", "*.mp3",
+                                        "*.ogg")), []))
         overall = {"filename": [], "onset": [], "offset": [], "cluster": []}
         for path in tqdm(paths):
             audio, sr = load_audio(path)

@@ -55,15 +55,20 @@ def read_label(label_path: str, default_config: Optional[dict] = None,
     return label
 
 
+_AUDIO_EXTS = (".wav", ".flac", ".mp3", ".ogg")
+
+
 def get_audio_and_label_paths(folder: str) -> Tuple[List[str], List[str]]:
-    """Pair *.wav files with sibling .json (preferred) or .csv labels
-    (reference datautils.py:44-56)."""
+    """Pair audio files with sibling .json (preferred) or .csv labels
+    (reference datautils.py:44-56; the reference pairs only *.wav, but its
+    loader reads anything librosa does — here all of wav/flac/mp3/ogg pair)."""
     audio_paths, label_paths = [], []
     for fname in os.listdir(folder):
-        if not fname.endswith(".wav"):
+        ext = os.path.splitext(fname)[1].lower()
+        if ext not in _AUDIO_EXTS:
             continue
         wav = os.path.join(folder, fname)
-        stem = wav[:-4]
+        stem = wav[: -len(ext)]
         if os.path.exists(stem + ".json"):
             audio_paths.append(wav)
             label_paths.append(stem + ".json")

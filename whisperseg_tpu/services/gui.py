@@ -50,8 +50,8 @@ PAGE = """<!DOCTYPE html>
 </nav>
 
 <section id="segment" class="active">
- <label>Audio files (.wav)</label>
- <input type="file" id="audio-files" multiple accept=".wav">
+ <label>Audio files (.wav/.flac/.mp3/.ogg)</label>
+ <input type="file" id="audio-files" multiple accept=".wav,.flac,.mp3,.ogg">
  <label>Model</label><select id="segment-model"></select>
  <label>num_trials</label><input type="number" id="num-trials" value="3" min="1">
  <label>min_frequency (blank = model default)</label>
@@ -128,7 +128,7 @@ setInterval(refreshModels, 5000);
 document.getElementById("run-segment").onclick = async () => {
   const files = document.getElementById("audio-files").files;
   const status = document.getElementById("segment-status");
-  if (!files.length) { status.textContent = "Choose at least one .wav file."; return; }
+  if (!files.length) { status.textContent = "Choose at least one audio file."; return; }
   status.textContent = "";
   const rows = [];
   for (const f of files) {
