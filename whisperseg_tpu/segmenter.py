@@ -103,6 +103,24 @@ class Segmenter:
         Output is exactly the main model's greedy transcript; speed scales
         with draft/target agreement (decode.generate_speculative). Applies
         to greedy requests only (num_beams <= 1, unconstrained)."""
+        import os
+        import sys
+
+        if not os.environ.get("WS_SPEC_NO_WARN"):
+            # Measured on THIS tunneled-TPU environment (RESULTS.md): the
+            # per-dispatch latency floor makes a draft step cost the same as
+            # a target step, so speculative decoding ran 0.27x-0.44x the
+            # speed of plain greedy despite 0.99-1.0 token agreement. Don't
+            # let the flag silently slow users down; the win condition is
+            # co-located hardware where a draft step is genuinely cheaper.
+            print(
+                "Warning: speculative decoding was measured SLOWER than plain "
+                "greedy decoding in dispatch-latency-bound environments "
+                "(0.27x-0.44x on a tunneled TPU; RESULTS.md). Re-measure on "
+                "your hardware with scripts/bench_spec.py before enabling in "
+                "production; set WS_SPEC_NO_WARN=1 to silence this warning.",
+                file=sys.stderr,
+            )
         from .checkpoint import load_checkpoint
 
         dparams, dcfg = load_checkpoint(model_path)
