@@ -95,3 +95,29 @@ def test_qdot_rejects_non_default_mode_for_int4():
     assert out.shape == (2, 8)
     with pytest.raises(ValueError, match="int4"):
         qdot(x, qt, mode="w8a8")
+
+
+def test_dataset_uses_extended_cluster_tokens():
+    """VocalSegDataset with extra_token_ids emits the merged multi-digit
+    token in training targets (finetune-an-import consistency)."""
+    import numpy as np
+
+    from whisperseg_tpu import tokenizer as tok
+    from whisperseg_tpu.data import VocalSegDataset
+
+    sr, step = 16000, 0.01
+    label = {"sr": sr, "spec_time_step": step, "min_frequency": 0,
+             "species": "unknown",
+             "onset": np.array([0.5]), "offset": np.array([1.5]),
+             "cluster_id": np.array([12]), "cluster": ["c12"]}
+    audio = np.zeros(int(sr * 2.0), np.float32)
+    ds = VocalSegDataset([audio], [label], max_length=24,
+                         total_spec_columns=100,
+                         extra_token_ids={"12": tok.VOCAB_SIZE})
+    item = ds[0]
+    assert tok.VOCAB_SIZE in item["decoder_input_ids"].tolist()
+    ds2 = VocalSegDataset([audio], [label], max_length=24,
+                          total_spec_columns=100)
+    item2 = ds2[0]
+    assert tok.VOCAB_SIZE not in item2["decoder_input_ids"].tolist()
+    assert 1 in item2["decoder_input_ids"].tolist()  # digit '1'

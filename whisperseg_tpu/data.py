@@ -284,11 +284,15 @@ class VocalSegDataset:
     """
 
     def __init__(self, audio_list, label_list, max_length: int,
-                 total_spec_columns: int):
+                 total_spec_columns: int, extra_token_ids: dict = None):
         self.audio_list = audio_list
         self.label_list = label_list
         self.max_length = max_length
         self.total_spec_columns = total_spec_columns
+        # piece -> extended token id, for finetuning an imported HF checkpoint
+        # whose BPE merged multi-digit cluster ids (models/convert_hf.py):
+        # targets then use the same tokens the imported model generates
+        self.extra_token_ids = extra_token_ids or None
         self._frontends: Dict[Tuple, Frontend] = {}
 
     def __len__(self):
@@ -322,6 +326,7 @@ class VocalSegDataset:
         target = codec.build_target_ids(
             label.get("species", "unknown"), onset, offset, cluster_id,
             step, self.total_spec_columns,
+            extra_token_ids=self.extra_token_ids,
         )
         dec_inputs, labels = codec.shift_for_training(target, self.max_length)
 

@@ -323,8 +323,13 @@ def run_training(args: TrainArgs) -> Optional[str]:
         audio_list, label_list, args.total_spec_columns
     )
 
+    from ..tokenizer import VOCAB_SIZE
+
+    extra_token_ids = {p: VOCAB_SIZE + i
+                       for i, p in enumerate(cfg.extra_tokens)} or None
     dataset = VocalSegDataset(audio_list, label_list, args.max_length,
-                              args.total_spec_columns)
+                              args.total_spec_columns,
+                              extra_token_ids=extra_token_ids)
     loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True,
                         num_workers=args.num_workers)
     if len(loader) == 0:
