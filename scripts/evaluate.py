@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--compute_type", default="bfloat16",
                         choices=["float32", "bfloat16", "int8", "int4"])
+    parser.add_argument("--refine_boundaries_ms", type=float, default=None,
+                        help="opt-in energy-edge boundary refinement: search "
+                             "half-width in ms (see whisperseg_tpu/refine.py)")
     args = parser.parse_args(argv)
 
     from whisperseg_tpu.evaluate import evaluate_dataset
@@ -31,6 +34,7 @@ def main(argv=None):
         args.dataset_folder, args.model_path, num_trials=args.num_trials,
         max_length=args.max_length, num_beams=args.num_beams,
         batch_size=args.batch_size, inference_dtype=args.compute_type,
+        refine_boundaries_ms=args.refine_boundaries_ms,
     )
     print(json.dumps(res, indent=2))
 

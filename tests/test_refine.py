@@ -1,0 +1,123 @@
+"""Tests for energy-edge boundary refinement (whisperseg_tpu/refine.py)."""
+
+import numpy as np
+import pytest
+
+from whisperseg_tpu.refine import energy_envelope_db, refine_prediction
+
+
+def make_bursts(bounds, sr=32000, duration=4.0, amp=0.4, noise=0.002, seed=0):
+    """Audio with tone bursts at the given (onset, offset) times."""
+    rng = np.random.default_rng(seed)
+    y = rng.standard_normal(int(duration * sr)).astype(np.float32) * noise
+    t = np.arange(len(y)) / sr
+    for on, off in bounds:
+        a, b = int(on * sr), int(off * sr)
+        y[a:b] += amp * np.sin(2 * np.pi * 2000 * t[a:b]).astype(np.float32)
+    return y
+
+
+def test_refinement_recovers_jittered_boundaries():
+    """Boundaries jittered by up to 30 ms snap back to within ~3 ms."""
+    sr = 32000
+    truth = [(0.5, 0.8), (1.2, 1.35), (2.0, 2.5), (3.1, 3.22)]
+    y = make_bursts(truth, sr=sr)
+    rng = np.random.default_rng(1)
+    pred = {
+        "onset": [on + rng.uniform(-0.03, 0.03) for on, _ in truth],
+        "offset": [off + rng.uniform(-0.03, 0.03) for _, off in truth],
+        "cluster": ["v"] * len(truth),
+    }
+    out = refine_prediction(pred, y, sr, search_ms=40)
+    for (t_on, t_off), got_on, got_off in zip(truth, out["onset"],
+                                              out["offset"]):
+        assert abs(got_on - t_on) < 0.004, (t_on, got_on)
+        assert abs(got_off - t_off) < 0.004, (t_off, got_off)
+
+
+def test_refinement_improves_segment_f1():
+    """The acceptance shape: jittered predictions fail the ±10 ms tolerance,
+    refined ones pass."""
+    from whisperseg_tpu.scoring import segment_score
+
+    sr = 32000
+    truth = [(0.5, 0.8), (1.2, 1.35), (2.0, 2.5), (3.1, 3.22)]
+    y = make_bursts(truth, sr=sr)
+    rng = np.random.default_rng(2)
+    label = {"onset": [t[0] for t in truth], "offset": [t[1] for t in truth],
+             "cluster": ["v"] * len(truth)}
+    pred = {
+        "onset": [on + float(rng.uniform(0.015, 0.035) * rng.choice([-1, 1]))
+                  for on, _ in truth],
+        "offset": [off + float(rng.uniform(0.015, 0.035) * rng.choice([-1, 1]))
+                   for _, off in truth],
+        "cluster": ["v"] * len(truth),
+    }
+    f1_before = segment_score(pred, label, tolerance=0.01)[-1]
+    out = refine_prediction(pred, y, sr, search_ms=40)
+    f1_after = segment_score(out, label, tolerance=0.01)[-1]
+    assert f1_before < 0.5
+    assert f1_after == 1.0, (pred, out)
+
+
+def test_no_edge_keeps_model_boundary():
+    """Flat noise (no energy edge above the contrast threshold) must leave
+    boundaries untouched (modulo the 3-decimal rounding contract)."""
+    sr = 16000
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(sr * 2).astype(np.float32) * 0.01
+    pred = {"onset": [0.5004], "offset": [0.9002], "cluster": ["v"]}
+    out = refine_prediction(pred, y, sr, search_ms=40)
+    assert out["onset"] == [0.5] and out["offset"] == [0.9]
+
+
+def test_neighboring_segments_do_not_cross():
+    sr = 32000
+    truth = [(0.5, 0.7), (0.75, 0.95)]  # 50 ms gap < the 80 ms search span
+    y = make_bursts(truth, sr=sr)
+    pred = {"onset": [0.52, 0.73], "offset": [0.72, 0.97],
+            "cluster": ["v", "v"]}
+    out = refine_prediction(pred, y, sr, search_ms=40)
+    assert out["offset"][0] <= out["onset"][1]
+    for (t_on, t_off), got_on, got_off in zip(truth, out["onset"],
+                                              out["offset"]):
+        assert abs(got_on - t_on) < 0.01
+        assert abs(got_off - t_off) < 0.01
+
+
+def test_empty_prediction_passthrough():
+    y = np.zeros(16000, np.float32)
+    pred = {"onset": [], "offset": [], "cluster": []}
+    out = refine_prediction(pred, y, 16000)
+    assert out["onset"] == []
+
+
+def test_envelope_shape_and_levels():
+    sr = 16000
+    y = np.concatenate([np.zeros(sr, np.float32),
+                        0.5 * np.ones(sr, np.float32)])
+    env = energy_envelope_db(y, sr)
+    assert len(env) == 2 * sr // 16  # 1 ms hop
+    assert env[len(env) // 4] < -80  # silence ~ floor
+    assert env[3 * len(env) // 4] > -10  # signal ~ -6 dB
+
+
+def test_segmenter_api_accepts_flag():
+    """segment(..., refine_boundaries_ms=...) plumbs through on a tiny model."""
+    import jax
+
+    from whisperseg_tpu.models import init_params
+    from whisperseg_tpu.models.config import WhisperConfig
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                        num_heads=2, d_ff=128, max_source_positions=50,
+                        max_target_positions=32, total_spec_columns=100,
+                        compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    seg = Segmenter(params, cfg)
+    y = make_bursts([(0.2, 0.4)], sr=16000, duration=1.0)
+    out = seg.segment(y, sr=16000, spec_time_step=0.01, num_trials=1,
+                      num_beams=1, max_length=16, batch_size=2,
+                      refine_boundaries_ms=30)
+    assert set(out.keys()) >= {"onset", "offset", "cluster"}

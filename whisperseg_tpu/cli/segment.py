@@ -54,6 +54,9 @@ def build_parser():
                              "decoding (requires --num_beams 1)")
     parser.add_argument("--spec_k", default=4, type=int,
                         help="Draft tokens per speculative step")
+    parser.add_argument("--refine_boundaries_ms", default=None, type=float,
+                        help="opt-in energy-edge boundary refinement: search "
+                             "half-width in ms (see whisperseg_tpu/refine.py)")
     parser.add_argument("--max_length", default=448, type=int,
                         help="decode token budget (reference model.py:411 "
                              "default 448); models finetuned at "
@@ -87,6 +90,7 @@ def main(argv=None):
             spec_time_step=args.spec_time_step, num_trials=args.num_trials,
             batch_size=args.batch_size, num_beams=args.num_beams,
             max_length=args.max_length,
+            refine_boundaries_ms=args.refine_boundaries_ms,
         )
 
     if args.audio_path is None:

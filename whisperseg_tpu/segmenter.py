@@ -377,6 +377,7 @@ class Segmenter:
         seed: int = 0,
         constrained: bool = False,
         int8_kv: bool = False,
+        refine_boundaries_ms: Optional[float] = None,
     ) -> Dict[str, list]:
         """Segment one audio array -> {"onset": [...], "offset": [...], "cluster": [...]}.
 
@@ -433,6 +434,13 @@ class Segmenter:
             final["onset"] = [c[0] for c in clean]
             final["offset"] = [c[1] for c in clean]
             final["cluster"] = [c[2] for c in clean]
+
+        if refine_boundaries_ms:
+            # opt-in energy-edge snap (beyond reference; see refine.py)
+            from .refine import refine_prediction
+
+            final = refine_prediction(final, audio, sr,
+                                      search_ms=refine_boundaries_ms)
         return final
 
     # ------------------------------------------------------------------- scoring
