@@ -376,3 +376,16 @@ def test_segmenter_f1_parity_with_hf(journey):
                                "cluster": list(label["cluster"])},
                         tolerance=tol)
     assert np.isfinite(res[-1])
+
+
+def test_from_pretrained_accepts_hf_directory(journey):
+    """Segmenter.from_pretrained on a raw HF checkpoint dir (the reference's
+    own on-disk format) imports on the fly — the 'switch from the reference'
+    one-liner."""
+    from whisperseg_tpu.segmenter import Segmenter
+
+    d, *_ = journey
+    seg = Segmenter.from_pretrained(d, inference_dtype="float32")
+    assert seg.config.cluster_codebook
+    assert seg.config.extra_tokens  # multi-digit pieces came along
+    assert seg.default_segmentation_config.get("spec_time_step")

@@ -91,9 +91,24 @@ class Segmenter:
     @classmethod
     def from_pretrained(cls, model_path: str,
                         inference_dtype: str = "bfloat16") -> "Segmenter":
-        from .checkpoint import load_checkpoint
+        """Load a checkpoint directory — ours (params.npz) or a reference-style
+        HuggingFace one (model.safetensors / pytorch_model.bin + tokenizer
+        files), which is imported on the fly (models/convert_hf.py) so a
+        reference user can point this framework directly at an existing
+        WhisperSeg finetune (reference model.py:625-644)."""
+        import os
 
-        params, config = load_checkpoint(model_path)
+        if os.path.exists(os.path.join(model_path, "params.npz")):
+            from .checkpoint import load_checkpoint
+
+            params, config = load_checkpoint(model_path)
+        else:
+            from .hub import download_model
+            from .models.convert_hf import import_hf_checkpoint
+
+            resolved = download_model(model_path)
+            params, config = import_hf_checkpoint(resolved,
+                                                  total_spec_columns=None)
         return cls(params, config, inference_dtype=inference_dtype)
 
     def set_draft_model(self, model_path: str, spec_k: int = 4):
