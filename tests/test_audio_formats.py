@@ -417,3 +417,91 @@ def test_service_accepts_flac_base64():
     assert r.status_code == 201
     assert r.json()["onset"] == [0.0]
     assert stub.calls and stub.calls[0][1] == 16000
+
+
+# ------------------------------------------------- native C++ decoder parity
+
+
+def _native_or_skip():
+    from whisperseg_tpu.audio import native
+
+    if not native.available() or not hasattr(native.get_lib(),
+                                             "ws_decode_flac"):
+        pytest.skip("native library unavailable")
+    return native
+
+
+def test_native_flac_matches_python_on_encoder_output():
+    native = _native_or_skip()
+    from whisperseg_tpu.audio.flac import decode_flac_py
+
+    x = _tone(sr=32000)
+    st = np.stack([x, np.roll(x, 3)], axis=1)
+    for pcm, sr in [(x, 32000), (st, 48000), (x[:5000], 16000)]:
+        enc = encode_flac(pcm, sr)
+        py, sr_py = decode_flac_py(enc)
+        nat = native.decode_flac(enc)
+        assert nat is not None
+        arr, sr_nat = nat
+        assert sr_nat == sr_py == sr
+        np.testing.assert_array_equal(arr, py)
+
+
+def test_native_flac_matches_python_on_adversarial_streams():
+    """LPC, stereo decorrelation, rice2/escape/wasted-bits paths: the C++
+    decoder must agree bit-exactly with the pure-Python reference."""
+    native = _native_or_skip()
+    from whisperseg_tpu.audio.flac import decode_flac_py
+
+    rng = np.random.default_rng(7)
+    n = 256
+    x = np.cumsum(rng.integers(-50, 50, n)).astype(np.int64)
+    order, shift, coefs = 3, 5, [29, -18, 7]
+
+    def residual(i):
+        acc = sum(coefs[j] * int(x[i - 1 - j]) for j in range(order))
+        return int(x[i]) - (acc >> shift)
+
+    def write_lpc(bw):
+        bw.write_uint(0, 1)
+        bw.write_uint(32 + order - 1, 6)
+        bw.write_uint(0, 1)
+        for w in x[:order]:
+            bw.write_uint(int(w), 16)
+        bw.write_uint(6 - 1, 4)
+        bw.write_uint(shift, 5)
+        for c in coefs:
+            bw.write_uint(c, 6)
+        bw.write_uint(0, 2)
+        bw.write_uint(0, 4)
+        bw.write_uint(6, 4)
+        for i in range(order, n):
+            bw.write_rice(residual(i), 6)
+
+    streams = [_handmade_flac(write_lpc, n, nch_code=0, n_channels=1)]
+
+    left = rng.integers(-3000, 3000, 192).astype(np.int64)
+    right = rng.integers(-3000, 3000, 192).astype(np.int64)
+    side = left - right
+    for mode, nch_code in [("left_side", 8), ("right_side", 9),
+                           ("mid_side", 10)]:
+        def write_st(bw, mode=mode):
+            if mode == "left_side":
+                _write_verbatim(bw, left, 16)
+                _write_verbatim(bw, side, 17)
+            elif mode == "right_side":
+                _write_verbatim(bw, side, 17)
+                _write_verbatim(bw, right, 16)
+            else:
+                _write_verbatim(bw, (left + right) >> 1, 16)
+                _write_verbatim(bw, side, 17)
+        streams.append(_handmade_flac(write_st, 192, nch_code=nch_code,
+                                      n_channels=2))
+
+    for data in streams:
+        py, sr_py = decode_flac_py(data)
+        nat = native.decode_flac(data)
+        assert nat is not None
+        arr, sr_nat = nat
+        assert sr_nat == sr_py
+        np.testing.assert_array_equal(arr, py)

@@ -363,7 +363,22 @@ def _decode_frame(br: BitReader, info: dict):
 
 
 def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
-    """FLAC bytes -> (float32 array shaped (num_frames, channels) in [-1, 1), sr)."""
+    """FLAC bytes -> (float32 array shaped (num_frames, channels) in [-1, 1), sr).
+
+    Dispatches to the native C++ decoder (native/src/ws_flac.cpp, >100x
+    faster) when built; this pure-Python implementation is the reference
+    fallback, and the two are asserted bit-identical in tests."""
+    from . import native
+
+    if native.available():
+        decoded = native.decode_flac(data)
+        if decoded is not None:
+            return decoded
+    return decode_flac_py(data)
+
+
+def decode_flac_py(data: bytes) -> Tuple[np.ndarray, int]:
+    """Pure-Python reference decoder (see decode_flac)."""
     info = flac_stream_info(data)
     br = BitReader(data, start_byte=info["frames_offset"])
     blocks = []

@@ -49,6 +49,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
+            if not hasattr(lib, "ws_decode_flac"):
+                # stale pre-FLAC build: rebuild once and reload
+                del lib
+                if _build():
+                    lib = ctypes.CDLL(_LIB_PATH)
+                else:
+                    lib = ctypes.CDLL(_LIB_PATH)  # keep WAV/resample paths
         except OSError:
             _lib_failed = True
             return None
@@ -66,6 +73,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        try:
+            lib.ws_decode_flac.restype = ctypes.c_int
+            lib.ws_decode_flac.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+        except AttributeError:
+            # stale build without the FLAC object; rebuild lazily next session
+            pass
         lib.ws_resample.restype = ctypes.c_int64
         lib.ws_resample.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -100,6 +118,27 @@ def decode_wav(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     rc = lib.ws_decode_wav(data, len(data), ctypes.byref(out),
                            ctypes.byref(n_frames), ctypes.byref(n_channels),
                            ctypes.byref(sr))
+    if rc != 0:
+        return None
+    n = n_frames.value * n_channels.value
+    arr = _take_array(lib, out, n).reshape(n_frames.value, n_channels.value)
+    return arr, sr.value
+
+
+def decode_flac(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """FLAC bytes -> (float32 (frames, channels), sr), or None if unavailable
+    (missing toolchain/stale build) — the caller falls back to the pure-Python
+    reference decoder in audio/flac.py."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ws_decode_flac"):
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n_frames = ctypes.c_int32()
+    n_channels = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    rc = lib.ws_decode_flac(data, len(data), ctypes.byref(out),
+                            ctypes.byref(n_frames), ctypes.byref(n_channels),
+                            ctypes.byref(sr))
     if rc != 0:
         return None
     n = n_frames.value * n_channels.value
