@@ -44,6 +44,10 @@ SR = 32000
 SPEC_TIME_STEP = 0.0025
 
 
+MODEL_PATH = os.environ.get("BENCH_MODEL_PATH")  # real checkpoint (optional)
+EARLY_EXIT = os.environ.get("BENCH_EARLY_EXIT", "0") == "1"
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -53,9 +57,17 @@ def main():
     from whisperseg_tpu.decode import generate
     from whisperseg_tpu.models import init_params, make_config
 
-    cfg = make_config(MODEL_SIZE, total_spec_columns=1000,
-                      num_kv_heads=GQA_KV_HEADS or 0)
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    if MODEL_PATH:
+        # real trained checkpoint: enables the production configuration
+        # (BENCH_EARLY_EXIT=1 stops at EOT like deployments do; see BENCH.md
+        # "Real-model early-exit decode")
+        from whisperseg_tpu.checkpoint import load_checkpoint
+
+        params, cfg = load_checkpoint(MODEL_PATH)
+    else:
+        cfg = make_config(MODEL_SIZE, total_spec_columns=1000,
+                          num_kv_heads=GQA_KV_HEADS or 0)
+        params = init_params(jax.random.PRNGKey(0), cfg)
     # inference weights: int8 projections + bf16 rest by default (the decode
     # loop is HBM-bound on the weight stream; see Segmenter.inference_dtype)
     quant = os.environ.get("BENCH_QUANT", "int8")
@@ -88,17 +100,34 @@ def main():
     @jax.jit
     def segment_batch(params, clips):
         feats = frontend.features_for_clips(clips, 1000)
-        # early_exit=False: random weights emit EOT unpredictably; force the
-        # calibrated per-window token budget so runs are comparable.
-        # int8_kv: Pallas cross-attention kernel with in-VMEM dequant (F1-neutral,
-        # halves the dominant decode-step HBM stream; see BENCH.md).
+        # early_exit=False default: random weights emit EOT unpredictably;
+        # force the calibrated per-window token budget so runs are comparable.
+        # BENCH_EARLY_EXIT=1 (with BENCH_MODEL_PATH) measures the production
+        # behavior: the whole batch stops once every row has emitted EOT.
+        # int8_kv: Pallas cross-attention kernel with in-VMEM dequant
+        # (F1-neutral, halves the dominant decode-step HBM stream; BENCH.md).
         return generate(params, cfg, feats, max_length=MAX_LENGTH,
-                        num_beams=1, top_k=1, early_exit=False, int8_kv=int8_kv)
+                        num_beams=1, top_k=1, early_exit=EARLY_EXIT,
+                        int8_kv=int8_kv)
 
-    batches = [
-        jnp.asarray(rng.randn(BATCH, clip_samples).astype(np.float32) * 0.1)
-        for _ in range(num_windows // BATCH)
-    ]
+    audio_path = os.environ.get("BENCH_AUDIO")
+    if audio_path:
+        # real audio windows (tiled to fill the budget): with a real
+        # checkpoint + early exit this measures the PRODUCTION decode, where
+        # transcripts end at EOT instead of the forced budget
+        from whisperseg_tpu.audio.io import load_audio
+
+        y, _ = load_audio(audio_path, sr=SR)
+        reps = -(-num_windows * clip_samples // max(len(y), 1))
+        y = np.tile(y, reps)[: num_windows * clip_samples]
+        wins = y.reshape(num_windows, clip_samples).astype(np.float32)
+        batches = [jnp.asarray(wins[i * BATCH:(i + 1) * BATCH])
+                   for i in range(num_windows // BATCH)]
+    else:
+        batches = [
+            jnp.asarray(rng.randn(BATCH, clip_samples).astype(np.float32) * 0.1)
+            for _ in range(num_windows // BATCH)
+        ]
 
     def one_pass():
         t0 = time.perf_counter()
@@ -118,7 +147,9 @@ def main():
     best = min(times)
     rtf = audio_seconds / best
 
-    arch = f"GQA-{GQA_KV_HEADS}" if GQA_KV_HEADS else "MHA"
+    kvh = cfg.kv_heads if MODEL_PATH else (GQA_KV_HEADS or cfg.num_heads)
+    arch = "MHA" if kvh == cfg.num_heads else f"GQA-{kvh}"
+    model_name = cfg.model_name if MODEL_PATH else MODEL_SIZE
     print(json.dumps({
         "metric": "audio_seconds_segmented_per_second_per_chip",
         "value": round(rtf, 2),
@@ -127,8 +158,10 @@ def main():
         # the measured configuration, so the number is self-describing:
         # default is the reference's own architecture (apples-to-apples);
         # BENCH_GQA=4 measures the beyond-reference GQA configuration
-        "config": (f"whisper-{MODEL_SIZE} {arch} {quant} batch={BATCH} "
-                   f"greedy max_length={MAX_LENGTH} forced-budget"),
+        "config": (f"whisper-{model_name} {arch} {quant} batch={BATCH} "
+                   f"greedy max_length={MAX_LENGTH} "
+                   + ("early-exit real-ckpt" if EARLY_EXIT and MODEL_PATH
+                      else "forced-budget")),
     }))
 
 

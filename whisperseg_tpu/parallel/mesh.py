@@ -55,14 +55,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_pspecs(params, cfg: WhisperConfig, tp: bool = False, fsdp: bool = False):
+def param_pspecs(params, cfg: WhisperConfig, tp: bool = False, fsdp: bool = False,
+                 data_size: int = 0):
     """PartitionSpec pytree for the parameter pytree.
 
     tp=True shards attention projections by head and the MLP hidden dim over the
     "model" axis (column-parallel q/k/v/fc1, row-parallel o/fc2 — the standard
     Megatron layout, expressed purely as shardings). fsdp=True additionally shards
     the remaining large leaves over "data" (weights are all-gathered on use by
-    GSPMD).
+    GSPMD). ``data_size`` (the data-axis extent, when known) restricts fsdp
+    sharding to dims it divides — a leaf with no such dim stays replicated
+    rather than erroring (e.g. a 3-way mesh over power-of-two dims).
     """
     def spec_for(path: str, leaf) -> P:
         ndim = np.ndim(leaf)
@@ -75,11 +78,13 @@ def param_pspecs(params, cfg: WhisperConfig, tp: bool = False, fsdp: bool = Fals
             if name in ("q_b", "v_b", "fc1_b", "xq_b", "xv_b"):
                 return P(*([None] * (ndim - 1)), MODEL_AXIS)
         if fsdp and ndim >= 2:
-            # shard the largest dim over data
-            axis = int(np.argmax(np.shape(leaf)))
-            spec = [None] * ndim
-            spec[axis] = DATA_AXIS
-            return P(*spec)
+            # shard the largest data_size-divisible dim over "data"
+            order = np.argsort(np.shape(leaf))[::-1]
+            for axis in order:
+                if data_size <= 1 or np.shape(leaf)[axis] % data_size == 0:
+                    spec = [None] * ndim
+                    spec[int(axis)] = DATA_AXIS
+                    return P(*spec)
         return P()
 
     def walk(tree, prefix=""):
@@ -93,7 +98,8 @@ def param_pspecs(params, cfg: WhisperConfig, tp: bool = False, fsdp: bool = Fals
 
 def param_shardings(mesh: Mesh, params, cfg: WhisperConfig, tp: bool = False,
                     fsdp: bool = False):
-    specs = param_pspecs(params, cfg, tp=tp, fsdp=fsdp)
+    specs = param_pspecs(params, cfg, tp=tp, fsdp=fsdp,
+                         data_size=int(mesh.shape.get(DATA_AXIS, 0)))
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
 
