@@ -7,8 +7,10 @@ package is written against ``jax.devices()`` (global view), so after
 parallelism rides ICI within a slice and DCN across hosts, laid out by
 ``make_mesh`` device order.
 
-Not yet exercised on real multi-host hardware (single chip available in dev);
-tracked in PARITY.md.
+Exercised in a REAL multi-process run (two OS processes, 4 virtual devices
+each, gradient all-reduce over the TCP-coordinated distributed runtime — the
+DCN stand-in) in tests/test_multihost.py; multi-host TPU hardware itself is
+not available in dev (tracked in PARITY.md).
 """
 
 from __future__ import annotations
