@@ -25,6 +25,9 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--widths_ms", type=float, nargs="+",
                     default=[20.0, 30.0, 40.0, 60.0])
+    ap.add_argument("--split_db", type=float, nargs="+", default=[],
+                    help="also score energy-valley splitting at these dB "
+                         "drops, alone and combined with each refine width")
     ap.add_argument("--compute_type", default="bfloat16")
     args = ap.parse_args(argv)
 
@@ -32,7 +35,7 @@ def main(argv=None):
 
     from whisperseg_tpu.audio.io import load_audio
     from whisperseg_tpu.data import get_audio_and_label_paths, read_label
-    from whisperseg_tpu.refine import refine_prediction
+    from whisperseg_tpu.refine import refine_prediction, split_merged_segments
     from whisperseg_tpu.segmenter import Segmenter
 
     audio_paths, label_paths = get_audio_and_label_paths(args.dataset_folder)
@@ -42,6 +45,10 @@ def main(argv=None):
     cases = {"raw": []}
     for w in args.widths_ms:
         cases[f"refine_{w:g}ms"] = []
+    for d in args.split_db:
+        cases[f"split_{d:g}db"] = []
+        for w in args.widths_ms:
+            cases[f"split_{d:g}db+refine_{w:g}ms"] = []
     labels = []
     for ap_, lp in zip(audio_paths, label_paths):
         label = read_label(lp)
@@ -59,6 +66,12 @@ def main(argv=None):
         for w in args.widths_ms:
             cases[f"refine_{w:g}ms"].append(
                 refine_prediction(pred, audio, sr, search_ms=w))
+        for d in args.split_db:
+            sp = split_merged_segments(pred, audio, sr, drop_db=d)
+            cases[f"split_{d:g}db"].append(sp)
+            for w in args.widths_ms:
+                cases[f"split_{d:g}db+refine_{w:g}ms"].append(
+                    refine_prediction(sp, audio, sr, search_ms=w))
         print(f"decoded {os.path.basename(ap_)}: {len(pred['onset'])} "
               f"segments", file=sys.stderr, flush=True)
 

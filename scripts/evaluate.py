@@ -23,6 +23,8 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--compute_type", default="bfloat16",
                         choices=["float32", "bfloat16", "int8", "int4"])
+    parser.add_argument("--split_merged_db", type=float, default=None,
+                        help="opt-in energy-valley split of merged segments")
     parser.add_argument("--refine_boundaries_ms", type=float, default=None,
                         help="opt-in energy-edge boundary refinement: search "
                              "half-width in ms (see whisperseg_tpu/refine.py)")
@@ -35,6 +37,7 @@ def main(argv=None):
         max_length=args.max_length, num_beams=args.num_beams,
         batch_size=args.batch_size, inference_dtype=args.compute_type,
         refine_boundaries_ms=args.refine_boundaries_ms,
+        split_merged_db=args.split_merged_db,
     )
     print(json.dumps(res, indent=2))
 

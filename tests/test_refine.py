@@ -121,3 +121,51 @@ def test_segmenter_api_accepts_flag():
                       num_beams=1, max_length=16, batch_size=2,
                       refine_boundaries_ms=30)
     assert set(out.keys()) >= {"onset", "offset", "cluster"}
+
+
+def test_split_merged_segments_recovers_syllables():
+    """A single prediction spanning three bursts splits at the energy valleys
+    into three segments matching the true boundaries."""
+    from whisperseg_tpu.refine import split_merged_segments
+
+    sr = 32000
+    truth = [(0.50, 0.62), (0.65, 0.80), (0.83, 0.95)]
+    y = make_bursts(truth, sr=sr)
+    pred = {"onset": [0.50], "offset": [0.95], "cluster": ["v"]}
+    out = split_merged_segments(pred, y, sr, drop_db=10)
+    assert len(out["onset"]) == 3
+    for (t_on, t_off), got_on, got_off in zip(truth, out["onset"],
+                                              out["offset"]):
+        assert abs(got_on - t_on) < 0.012, (t_on, got_on)
+        assert abs(got_off - t_off) < 0.012, (t_off, got_off)
+    assert out["cluster"] == ["v", "v", "v"]
+
+
+def test_split_keeps_continuous_segments_whole():
+    from whisperseg_tpu.refine import split_merged_segments
+
+    sr = 32000
+    y = make_bursts([(0.3, 0.9)], sr=sr, duration=1.5)
+    pred = {"onset": [0.3], "offset": [0.9], "cluster": ["v"]}
+    out = split_merged_segments(pred, y, sr, drop_db=10)
+    assert out["onset"] == [0.3] and out["offset"] == [0.9]
+
+
+def test_split_then_refine_recovers_merged_truth():
+    """The full post-process pipeline on the dominant failure mode: a merged
+    prediction with sloppy outer boundaries becomes tolerance-accurate
+    segments."""
+    from whisperseg_tpu.refine import refine_prediction, split_merged_segments
+    from whisperseg_tpu.scoring import segment_score
+
+    sr = 32000
+    truth = [(0.50, 0.62), (0.66, 0.80), (0.84, 0.95), (1.30, 1.45)]
+    y = make_bursts(truth, sr=sr)
+    label = {"onset": [t[0] for t in truth], "offset": [t[1] for t in truth],
+             "cluster": ["v"] * 4}
+    pred = {"onset": [0.52, 1.28], "offset": [0.93, 1.47],
+            "cluster": ["v", "v"]}
+    assert segment_score(pred, label, tolerance=0.01)[-1] < 0.4
+    sp = split_merged_segments(pred, y, sr, drop_db=10)
+    out = refine_prediction(sp, y, sr, search_ms=30)
+    assert segment_score(out, label, tolerance=0.01)[-1] == 1.0, out

@@ -54,6 +54,9 @@ def build_parser():
                              "decoding (requires --num_beams 1)")
     parser.add_argument("--spec_k", default=4, type=int,
                         help="Draft tokens per speculative step")
+    parser.add_argument("--split_merged_db", default=None, type=float,
+                        help="opt-in energy-valley split of merged segments "
+                             "(dB drop below both flanks; see refine.py)")
     parser.add_argument("--refine_boundaries_ms", default=None, type=float,
                         help="opt-in energy-edge boundary refinement: search "
                              "half-width in ms (see whisperseg_tpu/refine.py)")
@@ -91,6 +94,7 @@ def main(argv=None):
             batch_size=args.batch_size, num_beams=args.num_beams,
             max_length=args.max_length,
             refine_boundaries_ms=args.refine_boundaries_ms,
+            split_merged_db=args.split_merged_db,
         )
 
     if args.audio_path is None:

@@ -12,7 +12,8 @@ from .audio.io import load_audio
 
 def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
              num_trials, num_beams: int = 4, target_cluster: Optional[str] = None,
-             verbose: bool = True, refine_boundaries_ms=None):
+             verbose: bool = True, refine_boundaries_ms=None,
+             split_merged_db=None):
     """Micro-averaged segment-wise and frame-wise P/R/F1 over a corpus
     (reference evaluate.py:9-51). Per-label ``tolerance`` /
     ``time_per_frame_for_scoring`` fields are intentionally ignored, as in the
@@ -34,6 +35,7 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
             num_trials=num_trials,
             num_beams=num_beams,
             refine_boundaries_ms=refine_boundaries_ms,
+            split_merged_db=split_merged_db,
         )
         tp, p_pred, p_label = segmenter.segment_score(
             prediction, label, target_cluster=target_cluster)[:3]
@@ -61,7 +63,8 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
 def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      max_length: int = 448, num_beams: int = 4,
                      batch_size: int = 8, inference_dtype: str = "bfloat16",
-                     refine_boundaries_ms=None, **kwargs):
+                     refine_boundaries_ms=None, split_merged_db=None,
+                     **kwargs):
     """(reference evaluate.py:53-84)"""
     from .segmenter import Segmenter
 
@@ -78,7 +81,8 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                                           inference_dtype=inference_dtype)
     res = evaluate(audio_list, label_list, segmenter, batch_size, max_length,
                    num_trials, num_beams, target_cluster=None,
-                   refine_boundaries_ms=refine_boundaries_ms)
+                   refine_boundaries_ms=refine_boundaries_ms,
+                   split_merged_db=split_merged_db)
 
     def expand(row):
         return {

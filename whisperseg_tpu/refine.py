@@ -25,7 +25,14 @@ import numpy as np
 
 def energy_envelope_db(audio: np.ndarray, sr: int, hop_s: float = 0.001,
                        win_s: float = 0.004) -> np.ndarray:
-    """Short-time RMS energy in dB at ``hop_s`` resolution (centered windows)."""
+    """Short-time RMS energy in dB at ``hop_s`` resolution (centered windows).
+
+    Broadband — kept as the fallback for very short signals; boundary
+    refinement uses :func:`band_envelope_db` (band-limited), because
+    annotation boundaries align with the energy of the VOCALIZATION band, not
+    of the full spectrum (measured on zebra finch: GT onsets sit on
+    500-8000 Hz band edges with p90 distance 0 ms, while broadband edges are
+    up to 118 ms away — low-frequency noise smears them)."""
     hop = max(int(round(hop_s * sr)), 1)
     win = max(int(round(win_s * sr)), hop)
     sq = np.concatenate([[0.0], np.cumsum(audio.astype(np.float64) ** 2)])
@@ -35,6 +42,39 @@ def energy_envelope_db(audio: np.ndarray, sr: int, hop_s: float = 0.001,
     hi = np.clip(centers + win // 2, 1, len(audio))
     rms = np.sqrt((sq[hi] - sq[lo]) / np.maximum(hi - lo, 1))
     return 10.0 * np.log10(np.maximum(rms, 1e-10) ** 2)
+
+
+def band_envelope_db(audio: np.ndarray, sr: int, hop_s: float = 0.001,
+                     fmin: Optional[float] = None,
+                     fmax: Optional[float] = None) -> np.ndarray:
+    """Band-limited short-time energy (dB) at ``hop_s`` resolution.
+
+    With ``fmin``/``fmax`` unset, the vocalization band is auto-selected as
+    the frequency bins with the highest temporal contrast (p90 - p20 of the
+    per-bin dB trace): vocal bands switch on and off, noise bands do not."""
+    from scipy.signal import stft
+
+    audio = np.asarray(audio, dtype=np.float32)
+    hop = max(int(round(hop_s * sr)), 1)
+    nper = 1 << max(int(np.ceil(np.log2(max(0.006 * sr, hop * 2)))), 4)
+    if nper > len(audio):
+        return energy_envelope_db(audio, sr, hop_s=hop_s)
+    f, _, Z = stft(audio, fs=sr, nperseg=nper, noverlap=nper - hop,
+                   boundary="zeros", padded=True)
+    power = np.abs(Z) ** 2  # [bins, frames]
+    if fmin is not None or fmax is not None:
+        sel = (f >= (fmin or 0)) & (f <= (fmax if fmax else sr / 2))
+    else:
+        per_bin_db = 10 * np.log10(np.maximum(power, 1e-12))
+        contrast = (np.percentile(per_bin_db, 90, axis=1)
+                    - np.percentile(per_bin_db, 20, axis=1))
+        thresh = 0.5 * contrast.max()
+        sel = contrast >= thresh
+        sel[0] = False  # never DC
+        if not sel.any():
+            sel[:] = True
+    env = 10 * np.log10(np.maximum(power[sel].sum(axis=0), 1e-12))
+    return env
 
 
 def _edge_scores(env: np.ndarray, edge_frames: int) -> np.ndarray:
@@ -50,6 +90,79 @@ def _edge_scores(env: np.ndarray, edge_frames: int) -> np.ndarray:
     return np.where(valid, after - before, 0.0)
 
 
+def split_merged_segments(
+    prediction: Dict[str, list],
+    audio: np.ndarray,
+    sr: int,
+    drop_db: float = 15.0,
+    min_gap_s: float = 0.008,
+    min_len_s: float = 0.01,
+    hop_s: float = 0.001,
+) -> Dict[str, list]:
+    """Split predictions that span multiple vocalizations at sustained energy
+    valleys.
+
+    The dominant from-scratch segment-F1 failure is STRUCTURAL: one predicted
+    segment covering several closely spaced syllables (measured: 65/210
+    predictions merged >= 2 ground-truth syllables while frame F1 was 0.72 —
+    scripts/diagnose_boundaries.py). Ground-truth syllabification follows
+    energy gaps, so inside each predicted segment we find valleys that drop
+    ``drop_db`` below BOTH flanking peaks for at least ``min_gap_s``, and cut
+    there. Sub-segments shorter than ``min_len_s`` are dropped; clusters are
+    inherited from the parent segment."""
+    onsets = list(map(float, prediction["onset"]))
+    offsets = list(map(float, prediction["offset"]))
+    clusters = list(prediction.get("cluster", ["" for _ in onsets]))
+    if not onsets:
+        return prediction
+    env = band_envelope_db(np.asarray(audio, dtype=np.float32), sr,
+                           hop_s=hop_s)
+    min_gap = max(int(round(min_gap_s / hop_s)), 1)
+
+    new_on, new_off, new_cl = [], [], []
+    for on, off, cl in zip(onsets, offsets, clusters):
+        a = int(np.clip(round(on / hop_s), 0, len(env)))
+        b = int(np.clip(round(off / hop_s), 0, len(env)))
+        r = env[a:b]
+        if len(r) < 3 * min_gap:
+            new_on.append(on); new_off.append(off); new_cl.append(cl)
+            continue
+        left_max = np.maximum.accumulate(r)
+        right_max = np.maximum.accumulate(r[::-1])[::-1]
+        valley = r < np.minimum(left_max, right_max) - drop_db
+        # runs of sustained valley -> cut points
+        cuts = []  # (valley_start, valley_end) in region frames
+        i = 0
+        while i < len(valley):
+            if valley[i]:
+                j = i
+                while j < len(valley) and valley[j]:
+                    j += 1
+                if j - i >= min_gap:
+                    cuts.append((i, j))
+                i = j
+            else:
+                i += 1
+        if not cuts:
+            new_on.append(on); new_off.append(off); new_cl.append(cl)
+            continue
+        bounds = [on]
+        for i, j in cuts:
+            bounds.append(on + i * hop_s)   # sub-offset at valley start
+            bounds.append(on + j * hop_s)   # next sub-onset at valley end
+        bounds.append(off)
+        for k in range(0, len(bounds), 2):
+            o1, o2 = bounds[k], bounds[k + 1]
+            if o2 - o1 >= min_len_s:
+                new_on.append(round(o1, 3))
+                new_off.append(round(o2, 3))
+                new_cl.append(cl)
+
+    out = dict(prediction)
+    out["onset"], out["offset"], out["cluster"] = new_on, new_off, new_cl
+    return out
+
+
 def refine_prediction(
     prediction: Dict[str, list],
     audio: np.ndarray,
@@ -57,7 +170,7 @@ def refine_prediction(
     search_ms: float = 40.0,
     hop_s: float = 0.001,
     edge_s: float = 0.006,
-    min_contrast_db: float = 6.0,
+    min_contrast_db: float = 4.0,
 ) -> Dict[str, list]:
     """Snap each onset to the best local rising energy edge and each offset to
     the best falling edge, within ±``search_ms``.
@@ -73,8 +186,8 @@ def refine_prediction(
     offsets = list(map(float, prediction["offset"]))
     if not onsets:
         return prediction
-    env = energy_envelope_db(np.asarray(audio, dtype=np.float32), sr,
-                             hop_s=hop_s)
+    env = band_envelope_db(np.asarray(audio, dtype=np.float32), sr,
+                           hop_s=hop_s)
     if len(env) < 8:
         return prediction
     edge_frames = max(int(round(edge_s / hop_s)), 1)

@@ -393,6 +393,7 @@ class Segmenter:
         constrained: bool = False,
         int8_kv: bool = False,
         refine_boundaries_ms: Optional[float] = None,
+        split_merged_db: Optional[float] = None,
     ) -> Dict[str, list]:
         """Segment one audio array -> {"onset": [...], "offset": [...], "cluster": [...]}.
 
@@ -450,6 +451,13 @@ class Segmenter:
             final["offset"] = [c[1] for c in clean]
             final["cluster"] = [c[2] for c in clean]
 
+        if split_merged_db:
+            # opt-in energy-valley split of merged segments (see refine.py)
+            from .refine import split_merged_segments
+
+            final = split_merged_segments(final, audio, sr,
+                                          drop_db=split_merged_db,
+                                          min_len_s=min_segment_length)
         if refine_boundaries_ms:
             # opt-in energy-edge snap (beyond reference; see refine.py)
             from .refine import refine_prediction
