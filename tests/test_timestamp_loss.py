@@ -92,3 +92,22 @@ def test_edge_columns_keep_mass():
     got = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels),
                                    timestamp_sigma=2.0))
     assert abs(got - np.log(tok.VOCAB_SIZE)) < 1e-4
+
+
+def test_spec_augment_masks_with_feature_min():
+    import jax
+
+    from whisperseg_tpu.training.trainer import spec_augment
+
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.uniform(1.0, 2.0, (2, 80, 200)).astype(np.float32))
+    out = np.asarray(spec_augment(feats, jax.random.PRNGKey(0)))
+    assert out.shape == feats.shape
+    changed = out != np.asarray(feats)
+    # something was masked, and masked cells carry the per-example minimum
+    assert changed.any()
+    for b in range(2):
+        if changed[b].any():
+            assert np.allclose(out[b][changed[b]], np.asarray(feats)[b].min())
+    # masked fraction is bounded (stripes, not wholesale destruction)
+    assert changed.mean() < 0.5

@@ -71,6 +71,9 @@ def build_parser():
                    help=">0: replace one-hot timestamp targets with a "
                         "discrete Gaussian over neighboring columns (stddev "
                         "in columns) — distance-aware boundary loss")
+    p.add_argument("--spec_augment", type=int, default=0,
+                   help="SpecAugment frequency/time masking on the training "
+                        "features (regularizer for small datasets)")
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--clear_cluster_codebook", type=int, default=1)
@@ -119,6 +122,7 @@ def main(argv=None):
         qat_bits=a.qat_bits,
         timestamp_loss_weight=a.timestamp_loss_weight,
         timestamp_label_sigma=a.timestamp_label_sigma,
+        spec_augment=bool(a.spec_augment),
         dropout=a.dropout,
         num_workers=a.num_workers,
         clear_cluster_codebook=bool(a.clear_cluster_codebook),

@@ -88,6 +88,7 @@ class TrainArgs:
     timestamp_loss_weight: float = 1.0  # >1 upweights timestamp targets
     timestamp_label_sigma: float = 0.0  # >0: Gaussian-soft timestamp targets
     #                                     (stddev in spectrogram columns)
+    spec_augment: bool = False  # SpecAugment freq/time masking (regularizer)
     dropout: float = 0.0
     num_workers: int = 4  # parallel item-loading threads in the DataLoader
     clear_cluster_codebook: bool = True
@@ -213,9 +214,38 @@ def make_optimizer(params, learning_rate: float, weight_decay: float,
     return opt, schedule
 
 
+def spec_augment(features, rng, n_freq_masks: int = 2, freq_width: int = 10,
+                 n_time_masks: int = 2, time_width: int = 30):
+    """SpecAugment-style feature masking (frequency + time stripes), applied
+    on-device inside the jitted train step. Masked cells take the per-example
+    feature minimum — the same value the frontend uses for padding
+    (reference datautils.py:374-378) — so masks look like silence, not a
+    novel token. Beyond-reference regularizer for small datasets."""
+    import jax
+    import jax.numpy as jnp
+
+    b, m, t = features.shape
+    fill = jnp.min(features, axis=(1, 2), keepdims=True)
+    freq_idx = jnp.arange(m)[None, :, None]
+    time_idx = jnp.arange(t)[None, None, :]
+    masked = features
+    for i in range(n_freq_masks):
+        rng, sub = jax.random.split(rng)
+        f0 = jax.random.randint(sub, (b, 1, 1), 0, max(m - freq_width, 1))
+        hit = (freq_idx >= f0) & (freq_idx < f0 + freq_width)
+        masked = jnp.where(hit, fill, masked)
+    for i in range(n_time_masks):
+        rng, sub = jax.random.split(rng)
+        t0 = jax.random.randint(sub, (b, 1, 1), 0, max(t - time_width, 1))
+        hit = (time_idx >= t0) & (time_idx < t0 + time_width)
+        masked = jnp.where(hit, fill, masked)
+    return masked
+
+
 def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0,
                      timestamp_loss_weight: float = 1.0,
-                     timestamp_label_sigma: float = 0.0):
+                     timestamp_label_sigma: float = 0.0,
+                     use_spec_augment: bool = False):
     """The donated, jitted (fwd + bwd + AdamW) step.
 
     Sharding is carried by the *arguments*: params placed via
@@ -227,14 +257,17 @@ def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0,
     import optax
 
     def step_fn(params, opt_state, batch, rng):
-        rng_enc, rng_dec = jax.random.split(rng)
+        rng_enc, rng_dec, rng_aug = jax.random.split(rng, 3)
+        features = batch["input_features"]
+        if use_spec_augment:
+            features = spec_augment(features, rng_aug)
 
         def loss_fn(p):
             if qat_bits:
                 from ..ops.quant import fake_quantize_params
 
                 p = fake_quantize_params(p, qat_bits)
-            enc = encoder_forward(p, cfg, batch["input_features"],
+            enc = encoder_forward(p, cfg, features,
                                   train=cfg.dropout > 0, dropout_rng=rng_enc)
             logits = decoder_forward_train(p, cfg, enc, batch["decoder_input_ids"],
                                            train=cfg.dropout > 0, dropout_rng=rng_dec)
@@ -378,7 +411,8 @@ def run_training(args: TrainArgs) -> Optional[str]:
     train_step = build_train_step(
         cfg, opt, qat_bits=args.qat_bits,
         timestamp_loss_weight=args.timestamp_loss_weight,
-        timestamp_label_sigma=args.timestamp_label_sigma)
+        timestamp_label_sigma=args.timestamp_label_sigma,
+        use_spec_augment=args.spec_augment)
 
     # ------------------------------------------------------------ logging setup
     metrics_path = os.path.join(args.model_folder, "metrics.jsonl")
