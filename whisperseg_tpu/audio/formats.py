@@ -39,6 +39,8 @@ _MPEG_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                        224, 256, 320, 0)
 _MPEG_BITRATE_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
                        128, 144, 160, 0)
+_MPEG_BITRATE_V1_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                       256, 320, 384, 0)
 
 
 def sniff_format(data: bytes) -> str:
@@ -101,8 +103,8 @@ def _parse_mp3_frame(data: bytes, pos: int):
                 else _MPEG_BITRATE_V2_L3)[br_idx]
         spf = 1152 if version == 3 else 576
         frame_bytes = spf * kbps * 1000 // 8 // sr + padding
-    elif layer == 2:  # Layer II
-        kbps = (_MPEG_BITRATE_V1_L3 if version == 3
+    elif layer == 2:  # Layer II (own bitrate table; MPEG2 L2 shares L3's)
+        kbps = (_MPEG_BITRATE_V1_L2 if version == 3
                 else _MPEG_BITRATE_V2_L3)[br_idx]
         spf = 1152
         frame_bytes = 144 * kbps * 1000 // sr + padding
