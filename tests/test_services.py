@@ -347,6 +347,8 @@ def test_segment_service_forwards_decode_knobs(segment_server):
         "num_beams": 1,
         "max_length": 100,
         "top_p": 0.9,
+        "refine_boundaries_ms": 25,
+        "split_merged_db": 12,
     }
     r = requests.post(f"http://{addr}/segment", json=payload, timeout=30)
     assert r.status_code == 201
@@ -354,12 +356,17 @@ def test_segment_service_forwards_decode_knobs(segment_server):
     assert call["num_beams"] == 1
     assert call["max_length"] == 100
     assert call["top_p"] == 0.9
+    assert call["refine_boundaries_ms"] == 25
+    assert call["split_merged_db"] == 12
     # and the defaults match segment()'s when the fields are absent
     payload2 = {k: v for k, v in payload.items()
-                if k not in ("num_beams", "max_length", "top_p")}
+                if k not in ("num_beams", "max_length", "top_p",
+                             "refine_boundaries_ms", "split_merged_db")}
     r = requests.post(f"http://{addr}/segment", json=payload2, timeout=30)
     assert r.status_code == 201
     call = stub.calls[-1]
     assert call["num_beams"] == 4
     assert call["max_length"] == 448
     assert call["top_p"] == 1.0
+    assert call["refine_boundaries_ms"] is None
+    assert call["split_merged_db"] is None

@@ -96,6 +96,9 @@ def build_app(segmenter, batch_size: int = 8,
                     num_beams=info.get("num_beams", 4),
                     max_length=info.get("max_length", 448),
                     top_p=info.get("top_p", 1.0),
+                    refine_boundaries_ms=info.get("refine_boundaries_ms",
+                                                  None),
+                    split_merged_db=info.get("split_merged_db", None),
                 )
             except Exception:
                 print("Segmentation Error! Returning an empty prediction ...")
