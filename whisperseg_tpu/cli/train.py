@@ -71,6 +71,10 @@ def build_parser():
                    help=">0: replace one-hot timestamp targets with a "
                         "discrete Gaussian over neighboring columns (stddev "
                         "in columns) — distance-aware boundary loss")
+    p.add_argument("--synth_augment", type=int, default=0,
+                   help="add N splice-synthesized training files built from "
+                        "real syllables and noise beds with exact boundaries "
+                        "(data augmentation for from-scratch training)")
     p.add_argument("--spec_augment", type=int, default=0,
                    help="SpecAugment frequency/time masking on the training "
                         "features (regularizer for small datasets)")
@@ -122,6 +126,7 @@ def main(argv=None):
         qat_bits=a.qat_bits,
         timestamp_loss_weight=a.timestamp_loss_weight,
         timestamp_label_sigma=a.timestamp_label_sigma,
+        synth_augment=a.synth_augment,
         spec_augment=bool(a.spec_augment),
         dropout=a.dropout,
         num_workers=a.num_workers,

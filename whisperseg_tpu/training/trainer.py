@@ -89,6 +89,8 @@ class TrainArgs:
     timestamp_label_sigma: float = 0.0  # >0: Gaussian-soft timestamp targets
     #                                     (stddev in spectrogram columns)
     spec_augment: bool = False  # SpecAugment freq/time masking (regularizer)
+    synth_augment: int = 0  # N: add N splice-synthesized training files built
+    #                         from real syllables + noise beds (augment.py)
     dropout: float = 0.0
     num_workers: int = 4  # parallel item-loading threads in the DataLoader
     clear_cluster_codebook: bool = True
@@ -351,6 +353,22 @@ def run_training(args: TrainArgs) -> Optional[str]:
                   f"pick a worse model than the last step. Consider a larger "
                   f"--val_ratio, more data, or val_ratio=0 with a fixed "
                   f"iteration budget.")
+
+    if args.synth_augment > 0:
+        # Splice-synthesis augmentation: real syllables on real noise beds
+        # with exact boundaries (augment.py). Runs after the val split so
+        # validation stays purely real data.
+        from ..augment import synthesize_training_files
+
+        synth_audio, synth_label = synthesize_training_files(
+            audio_list, label_list, args.synth_augment,
+            total_spec_columns=args.total_spec_columns,
+        )
+        n_synth_segments = int(sum(len(l["onset"]) for l in synth_label))
+        print(f"Synth augmentation: +{len(synth_audio)} file(s), "
+              f"{n_synth_segments} spliced segment(s).")
+        audio_list = list(audio_list) + synth_audio
+        label_list = list(label_list) + synth_label
 
     audio_list, label_list = slice_audios_and_labels(
         audio_list, label_list, args.total_spec_columns
