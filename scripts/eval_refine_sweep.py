@@ -28,14 +28,16 @@ def main(argv=None):
     ap.add_argument("--split_db", type=float, nargs="+", default=[],
                     help="also score energy-valley splitting at these dB "
                          "drops, alone and combined with each refine width")
+    ap.add_argument("--merge_gap_ms", type=float, nargs="+", default=[],
+                    help="also score small-gap merging at these thresholds, "
+                         "alone and combined with each split dB")
     ap.add_argument("--compute_type", default="bfloat16")
     args = ap.parse_args(argv)
 
-    import numpy as np
-
     from whisperseg_tpu.audio.io import load_audio
     from whisperseg_tpu.data import get_audio_and_label_paths, read_label
-    from whisperseg_tpu.refine import refine_prediction, split_merged_segments
+    from whisperseg_tpu.refine import (merge_small_gaps, refine_prediction,
+                                       split_merged_segments)
     from whisperseg_tpu.segmenter import Segmenter
 
     audio_paths, label_paths = get_audio_and_label_paths(args.dataset_folder)
@@ -49,6 +51,10 @@ def main(argv=None):
         cases[f"split_{d:g}db"] = []
         for w in args.widths_ms:
             cases[f"split_{d:g}db+refine_{w:g}ms"] = []
+    for g in args.merge_gap_ms:
+        cases[f"merge_{g:g}ms"] = []
+        for d in args.split_db:
+            cases[f"merge_{g:g}ms+split_{d:g}db"] = []
     labels = []
     for ap_, lp in zip(audio_paths, label_paths):
         label = read_label(lp)
@@ -72,6 +78,12 @@ def main(argv=None):
             for w in args.widths_ms:
                 cases[f"split_{d:g}db+refine_{w:g}ms"].append(
                     refine_prediction(sp, audio, sr, search_ms=w))
+        for g in args.merge_gap_ms:
+            mg = merge_small_gaps(pred, gap_s=g / 1000.0)
+            cases[f"merge_{g:g}ms"].append(mg)
+            for d in args.split_db:
+                cases[f"merge_{g:g}ms+split_{d:g}db"].append(
+                    split_merged_segments(mg, audio, sr, drop_db=d))
         print(f"decoded {os.path.basename(ap_)}: {len(pred['onset'])} "
               f"segments", file=sys.stderr, flush=True)
 

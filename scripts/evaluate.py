@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--compute_type", default="bfloat16",
                         choices=["float32", "bfloat16", "int8", "int4"])
+    parser.add_argument("--merge_gap_ms", type=float, default=None,
+                        help="opt-in merge of same-cluster predictions whose "
+                             "gap is below this many ms")
     parser.add_argument("--split_merged_db", type=float, default=None,
                         help="opt-in energy-valley split of merged segments")
     parser.add_argument("--refine_boundaries_ms", type=float, default=None,
@@ -38,6 +41,7 @@ def main(argv=None):
         batch_size=args.batch_size, inference_dtype=args.compute_type,
         refine_boundaries_ms=args.refine_boundaries_ms,
         split_merged_db=args.split_merged_db,
+        merge_gap_ms=args.merge_gap_ms,
     )
     print(json.dumps(res, indent=2))
 

@@ -169,3 +169,61 @@ def test_split_then_refine_recovers_merged_truth():
     sp = split_merged_segments(pred, y, sr, drop_db=10)
     out = refine_prediction(sp, y, sr, search_ms=30)
     assert segment_score(out, label, tolerance=0.01)[-1] == 1.0, out
+
+
+def test_merge_small_gaps_merges_spurious_splits():
+    from whisperseg_tpu.refine import merge_small_gaps
+
+    pred = {"onset": [0.1, 0.205, 0.5, 0.62],
+            "offset": [0.2, 0.3, 0.6, 0.7],
+            "cluster": ["a", "a", "a", "a"]}
+    out = merge_small_gaps(pred, gap_s=0.010)
+    # 5 ms gap merged; 20 ms gap kept
+    assert out["onset"] == [0.1, 0.5, 0.62]
+    assert out["offset"] == [0.3, 0.6, 0.7]
+    assert out["cluster"] == ["a", "a", "a"]
+
+
+def test_merge_small_gaps_respects_cluster_and_order():
+    from whisperseg_tpu.refine import merge_small_gaps
+
+    # unsorted input, different clusters across the tiny gap -> no merge
+    pred = {"onset": [0.5, 0.1], "offset": [0.6, 0.498],
+            "cluster": ["b", "a"]}
+    out = merge_small_gaps(pred, gap_s=0.010)
+    assert out["onset"] == [0.1, 0.5]
+    assert out["cluster"] == ["a", "b"]
+    # same cluster -> merged, chained across several tiny gaps
+    pred = {"onset": [0.1, 0.205, 0.305], "offset": [0.2, 0.3, 0.4],
+            "cluster": ["a", "a", "a"]}
+    out = merge_small_gaps(pred, gap_s=0.010)
+    assert out["onset"] == [0.1] and out["offset"] == [0.4]
+
+
+def test_merge_small_gaps_empty_and_singleton():
+    from whisperseg_tpu.refine import merge_small_gaps
+
+    empty = {"onset": [], "offset": [], "cluster": []}
+    assert merge_small_gaps(empty, 0.01) == empty
+    one = {"onset": [0.1], "offset": [0.2], "cluster": ["a"]}
+    assert merge_small_gaps(one, 0.01) == one
+
+
+def test_segmenter_api_accepts_merge_gap_flag():
+    import jax
+
+    from whisperseg_tpu.models import init_params
+    from whisperseg_tpu.models.config import WhisperConfig
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                        num_heads=2, d_ff=128, max_source_positions=50,
+                        max_target_positions=32, total_spec_columns=100,
+                        compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    seg = Segmenter(params, cfg)
+    y = make_bursts([(0.2, 0.4)], sr=16000, duration=1.0)
+    out = seg.segment(y, sr=16000, spec_time_step=0.01, num_trials=1,
+                      num_beams=1, max_length=16, batch_size=2,
+                      merge_gap_ms=10, split_merged_db=15)
+    assert set(out.keys()) >= {"onset", "offset", "cluster"}

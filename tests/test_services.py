@@ -349,6 +349,7 @@ def test_segment_service_forwards_decode_knobs(segment_server):
         "top_p": 0.9,
         "refine_boundaries_ms": 25,
         "split_merged_db": 12,
+        "merge_gap_ms": 8,
     }
     r = requests.post(f"http://{addr}/segment", json=payload, timeout=30)
     assert r.status_code == 201
@@ -358,10 +359,12 @@ def test_segment_service_forwards_decode_knobs(segment_server):
     assert call["top_p"] == 0.9
     assert call["refine_boundaries_ms"] == 25
     assert call["split_merged_db"] == 12
+    assert call["merge_gap_ms"] == 8
     # and the defaults match segment()'s when the fields are absent
     payload2 = {k: v for k, v in payload.items()
                 if k not in ("num_beams", "max_length", "top_p",
-                             "refine_boundaries_ms", "split_merged_db")}
+                             "refine_boundaries_ms", "split_merged_db",
+                             "merge_gap_ms")}
     r = requests.post(f"http://{addr}/segment", json=payload2, timeout=30)
     assert r.status_code == 201
     call = stub.calls[-1]
@@ -370,3 +373,4 @@ def test_segment_service_forwards_decode_knobs(segment_server):
     assert call["top_p"] == 1.0
     assert call["refine_boundaries_ms"] is None
     assert call["split_merged_db"] is None
+    assert call["merge_gap_ms"] is None

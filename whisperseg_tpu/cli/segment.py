@@ -54,6 +54,9 @@ def build_parser():
                              "decoding (requires --num_beams 1)")
     parser.add_argument("--spec_k", default=4, type=int,
                         help="Draft tokens per speculative step")
+    parser.add_argument("--merge_gap_ms", default=None, type=float,
+                        help="opt-in merge of same-cluster predictions whose "
+                             "gap is below this (spurious splits; refine.py)")
     parser.add_argument("--split_merged_db", default=None, type=float,
                         help="opt-in energy-valley split of merged segments "
                              "(dB drop below both flanks; see refine.py)")
@@ -95,6 +98,7 @@ def main(argv=None):
             max_length=args.max_length,
             refine_boundaries_ms=args.refine_boundaries_ms,
             split_merged_db=args.split_merged_db,
+            merge_gap_ms=args.merge_gap_ms,
         )
 
     if args.audio_path is None:

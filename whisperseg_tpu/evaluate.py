@@ -13,7 +13,7 @@ from .audio.io import load_audio
 def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
              num_trials, num_beams: int = 4, target_cluster: Optional[str] = None,
              verbose: bool = True, refine_boundaries_ms=None,
-             split_merged_db=None):
+             split_merged_db=None, merge_gap_ms=None):
     """Micro-averaged segment-wise and frame-wise P/R/F1 over a corpus
     (reference evaluate.py:9-51). Per-label ``tolerance`` /
     ``time_per_frame_for_scoring`` fields are intentionally ignored, as in the
@@ -36,6 +36,7 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
             num_beams=num_beams,
             refine_boundaries_ms=refine_boundaries_ms,
             split_merged_db=split_merged_db,
+            merge_gap_ms=merge_gap_ms,
         )
         tp, p_pred, p_label = segmenter.segment_score(
             prediction, label, target_cluster=target_cluster)[:3]
@@ -64,6 +65,7 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      max_length: int = 448, num_beams: int = 4,
                      batch_size: int = 8, inference_dtype: str = "bfloat16",
                      refine_boundaries_ms=None, split_merged_db=None,
+                     merge_gap_ms=None,
                      **kwargs):
     """(reference evaluate.py:53-84)"""
     from .segmenter import Segmenter
@@ -82,7 +84,7 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
     res = evaluate(audio_list, label_list, segmenter, batch_size, max_length,
                    num_trials, num_beams, target_cluster=None,
                    refine_boundaries_ms=refine_boundaries_ms,
-                   split_merged_db=split_merged_db)
+                   split_merged_db=split_merged_db, merge_gap_ms=merge_gap_ms)
 
     def expand(row):
         return {

@@ -234,3 +234,37 @@ def refine_prediction(
     out["onset"] = [float(np.round(t, 3)) for t in new_on]
     out["offset"] = [float(np.round(t, 3)) for t in new_off]
     return out
+
+
+def merge_small_gaps(
+    prediction: Dict[str, list],
+    gap_s: float,
+) -> Dict[str, list]:
+    """Merge consecutive same-cluster predictions separated by an implausibly
+    small gap.
+
+    The complement of split_merged_segments: the other structural from-scratch
+    failure is one ground-truth syllable covered by >= 2 predictions (measured:
+    64/205 GT split — scripts/diagnose_boundaries.py), while the empirical
+    minimum inter-syllable gap in the corpus is much larger (zebra finch
+    adults: 12 ms). A predicted gap shorter than the corpus minimum is
+    therefore almost surely a spurious split; this merges such neighbors when
+    their clusters agree. Opt-in via ``segment(..., merge_gap_ms=...)``."""
+    onsets = list(map(float, prediction["onset"]))
+    offsets = list(map(float, prediction["offset"]))
+    clusters = list(prediction.get("cluster", ["" for _ in onsets]))
+    if len(onsets) < 2:
+        return prediction
+    order = np.argsort(onsets)
+    new_on, new_off, new_cl = [], [], []
+    for i in order:
+        if (new_on and clusters[i] == new_cl[-1]
+                and onsets[i] - new_off[-1] < gap_s):
+            new_off[-1] = max(new_off[-1], offsets[i])
+        else:
+            new_on.append(onsets[i])
+            new_off.append(offsets[i])
+            new_cl.append(clusters[i])
+    out = dict(prediction)
+    out["onset"], out["offset"], out["cluster"] = new_on, new_off, new_cl
+    return out

@@ -394,6 +394,7 @@ class Segmenter:
         int8_kv: bool = False,
         refine_boundaries_ms: Optional[float] = None,
         split_merged_db: Optional[float] = None,
+        merge_gap_ms: Optional[float] = None,
     ) -> Dict[str, list]:
         """Segment one audio array -> {"onset": [...], "offset": [...], "cluster": [...]}.
 
@@ -451,6 +452,13 @@ class Segmenter:
             final["offset"] = [c[1] for c in clean]
             final["cluster"] = [c[2] for c in clean]
 
+        if merge_gap_ms:
+            # opt-in merge of implausibly small predicted gaps (spurious
+            # splits; see refine.merge_small_gaps). Runs before the energy
+            # split so a wrong merge over a genuine energy valley is re-cut.
+            from .refine import merge_small_gaps
+
+            final = merge_small_gaps(final, gap_s=merge_gap_ms / 1000.0)
         if split_merged_db:
             # opt-in energy-valley split of merged segments (see refine.py)
             from .refine import split_merged_segments

@@ -99,6 +99,7 @@ def build_app(segmenter, batch_size: int = 8,
                     refine_boundaries_ms=info.get("refine_boundaries_ms",
                                                   None),
                     split_merged_db=info.get("split_merged_db", None),
+                    merge_gap_ms=info.get("merge_gap_ms", None),
                 )
             except Exception:
                 print("Segmentation Error! Returning an empty prediction ...")
