@@ -67,7 +67,11 @@ def main(argv=None):
                            num_trials=args.num_trials,
                            num_beams=args.num_beams,
                            batch_size=args.batch_size,
-                           max_length=args.max_length)
+                           max_length=args.max_length,
+                           # sweep from RAW decodes: explicitly disable any
+                           # fitted combo stored in the checkpoint
+                           merge_gap_ms=0, split_merged_db=0,
+                           refine_boundaries_ms=0)
         cases["raw"].append(pred)
         for w in args.widths_ms:
             cases[f"refine_{w:g}ms"].append(

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Fit the post-processing knobs (merge_gap_ms / split_merged_db /
+refine_boundaries_ms) on a LABELED dataset — intended to be the TRAINING
+folder, so held-out evaluation of the fitted combination is honest — and
+optionally write the winner into the checkpoint's
+``default_segmentation_config`` so it activates by default at ``segment()``
+time (same precedence chain as the reference's segmentation defaults,
+reference model.py:415-425).
+
+    python scripts/fit_postprocess.py --model_path /tmp/zf/m/final_checkpoint \
+        --dataset_folder /tmp/zf/train --write 1
+
+Decodes each file once, grid-searches the chain offline (refine.fit_postprocess),
+prints the fitted params + train scores as JSON.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _respect_jax_platforms_env():
+    """Honor JAX_PLATFORMS even when a PJRT plugin (axon) force-prepends itself
+    to jax_platforms at import time (see DEVNOTES.md)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--dataset_folder", required=True,
+                    help="labeled folder to fit on (use the TRAINING folder)")
+    ap.add_argument("--num_trials", type=int, default=1)
+    ap.add_argument("--max_length", type=int, default=100)
+    ap.add_argument("--num_beams", type=int, default=1)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--compute_type", default="bfloat16")
+    ap.add_argument("--merge_gap_ms", type=float, nargs="+",
+                    default=[0.0, 5.0, 10.0])
+    ap.add_argument("--split_db", type=float, nargs="+",
+                    default=[0.0, 10.0, 12.0, 15.0])
+    ap.add_argument("--widths_ms", type=float, nargs="+",
+                    default=[0.0, 20.0, 30.0, 40.0, 60.0])
+    ap.add_argument("--write", type=int, default=0,
+                    help="1: store the fitted params in the checkpoint's "
+                         "default_segmentation_config (config.json)")
+    args = ap.parse_args(argv)
+
+    _respect_jax_platforms_env()
+    from whisperseg_tpu.audio.io import load_audio
+    from whisperseg_tpu.data import get_audio_and_label_paths, read_label
+    from whisperseg_tpu.refine import fit_postprocess
+    from whisperseg_tpu.segmenter import Segmenter
+
+    audio_paths, label_paths = get_audio_and_label_paths(args.dataset_folder)
+    if not audio_paths:
+        raise SystemExit(f"no labeled audio in {args.dataset_folder}")
+    seg = Segmenter.from_pretrained(args.model_path,
+                                    inference_dtype=args.compute_type)
+
+    preds, labels, audios, srs = [], [], [], []
+    for ap_, lp in zip(audio_paths, label_paths):
+        label = read_label(lp)
+        audio, sr = load_audio(ap_, sr=label.get("sr", None))
+        label["sr"] = sr
+        pred = seg.segment(
+            audio, sr=sr,
+            min_frequency=label.get("min_frequency", None),
+            spec_time_step=label.get("spec_time_step", None),
+            num_trials=args.num_trials, num_beams=args.num_beams,
+            batch_size=args.batch_size, max_length=args.max_length,
+            # fit on RAW decodes: disable any already-stored combination
+            merge_gap_ms=0, split_merged_db=0, refine_boundaries_ms=0,
+        )
+        preds.append(pred)
+        labels.append(label)
+        audios.append(audio)
+        srs.append(sr)
+        print(f"decoded {os.path.basename(ap_)}: {len(pred['onset'])} segments",
+              file=sys.stderr, flush=True)
+
+    params, table = fit_postprocess(
+        preds, labels, audios, srs, merge_gap_ms=args.merge_gap_ms,
+        split_db=args.split_db, widths_ms=args.widths_ms)
+    raw = table["merge_0+split_0+refine_0"]
+    g = params.get("merge_gap_ms", 0)
+    d = params.get("split_merged_db", 0)
+    w = params.get("refine_boundaries_ms", 0)
+    fitted = table[f"merge_{g:g}+split_{d:g}+refine_{w:g}"]
+
+    if args.write:
+        cfg_path = os.path.join(args.model_path, "config.json")
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        dsc = cfg.setdefault("default_segmentation_config", {})
+        for k in ("merge_gap_ms", "split_merged_db", "refine_boundaries_ms"):
+            dsc.pop(k, None)
+        dsc.update(params)
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f, indent=1)
+
+    print(json.dumps({"fitted_params": params, "train_raw": raw,
+                      "train_fitted": fitted, "written": bool(args.write),
+                      "table": table}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -227,3 +227,88 @@ def test_segmenter_api_accepts_merge_gap_flag():
                       num_beams=1, max_length=16, batch_size=2,
                       merge_gap_ms=10, split_merged_db=15)
     assert set(out.keys()) >= {"onset", "offset", "cluster"}
+
+
+# ---------------------------------------------------------------- fitting
+
+
+def test_fit_postprocess_picks_split_for_merged_predictions():
+    """Merged predictions over gapped truth: the grid fit selects a split
+    (optionally + refine) combo whose train F1 beats raw."""
+    from whisperseg_tpu.refine import apply_postprocess, fit_postprocess
+
+    sr = 32000
+    truth = [(0.5, 0.8), (0.9, 1.2), (2.0, 2.2), (2.32, 2.6)]
+    y = make_bursts(truth, sr=sr)
+    label = {"onset": [t[0] for t in truth], "offset": [t[1] for t in truth],
+             "cluster": ["v"] * 4, "tolerance": 0.01, "spec_time_step": 0.0025}
+    pred = {"onset": [0.5, 2.0], "offset": [1.2, 2.6], "cluster": ["v", "v"]}
+
+    params, table = fit_postprocess([pred], [label], [y], [sr])
+    assert params.get("split_merged_db"), params
+    raw = table["merge_0+split_0+refine_0"]["segment_F1"]
+    g = params.get("merge_gap_ms", 0)
+    d = params.get("split_merged_db", 0)
+    w = params.get("refine_boundaries_ms", 0)
+    fitted = table[f"merge_{g:g}+split_{d:g}+refine_{w:g}"]["segment_F1"]
+    assert fitted > raw
+
+    # applying the fitted params reproduces the fitted score
+    from whisperseg_tpu.scoring import segment_score
+
+    out = apply_postprocess(pred, y, sr, **params)
+    assert round(segment_score(out, label, tolerance=0.01)[-1], 4) == fitted
+
+
+def test_fit_postprocess_noop_on_perfect_predictions():
+    """When raw predictions already score 1.0, simplicity tie-breaking keeps
+    every knob off (empty params)."""
+    from whisperseg_tpu.refine import fit_postprocess
+
+    sr = 32000
+    truth = [(0.5, 0.8), (1.2, 1.5)]
+    y = make_bursts(truth, sr=sr)
+    label = {"onset": [t[0] for t in truth], "offset": [t[1] for t in truth],
+             "cluster": ["v"] * 2, "tolerance": 0.01, "spec_time_step": 0.0025}
+    pred = {"onset": list(label["onset"]), "offset": list(label["offset"]),
+            "cluster": ["v", "v"]}
+    params, table = fit_postprocess([pred], [label], [y], [sr])
+    assert params == {}, params
+    assert table["merge_0+split_0+refine_0"]["segment_F1"] == 1.0
+
+
+def test_segment_applies_checkpoint_default_postprocess(monkeypatch):
+    """Knobs stored in default_segmentation_config activate at segment() time;
+    an explicit 0 argument disables them (arg > model default > off)."""
+    import jax
+
+    from whisperseg_tpu import refine
+    from whisperseg_tpu.models import init_params
+    from whisperseg_tpu.models.config import WhisperConfig
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                        num_heads=2, d_ff=128, max_source_positions=50,
+                        max_target_positions=32, total_spec_columns=100,
+                        compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    seg = Segmenter(params, cfg)
+    seg.default_segmentation_config["merge_gap_ms"] = 7.0
+
+    calls = []
+    real = refine.merge_small_gaps
+
+    def spy(prediction, gap_s):
+        calls.append(gap_s)
+        return real(prediction, gap_s)
+
+    monkeypatch.setattr(refine, "merge_small_gaps", spy)
+    y = make_bursts([(0.2, 0.4)], sr=16000, duration=1.0)
+    common = dict(sr=16000, spec_time_step=0.01, num_trials=1, num_beams=1,
+                  max_length=16, batch_size=2)
+    seg.segment(y, **common)
+    assert calls == [pytest.approx(0.007)]
+    seg.segment(y, merge_gap_ms=0, **common)  # explicit off
+    assert len(calls) == 1
+    seg.segment(y, merge_gap_ms=3, **common)  # explicit override
+    assert calls[-1] == pytest.approx(0.003)

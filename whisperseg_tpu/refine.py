@@ -98,6 +98,7 @@ def split_merged_segments(
     min_gap_s: float = 0.008,
     min_len_s: float = 0.01,
     hop_s: float = 0.001,
+    env: Optional[np.ndarray] = None,
 ) -> Dict[str, list]:
     """Split predictions that span multiple vocalizations at sustained energy
     valleys.
@@ -115,8 +116,9 @@ def split_merged_segments(
     clusters = list(prediction.get("cluster", ["" for _ in onsets]))
     if not onsets:
         return prediction
-    env = band_envelope_db(np.asarray(audio, dtype=np.float32), sr,
-                           hop_s=hop_s)
+    if env is None:
+        env = band_envelope_db(np.asarray(audio, dtype=np.float32), sr,
+                               hop_s=hop_s)
     min_gap = max(int(round(min_gap_s / hop_s)), 1)
 
     new_on, new_off, new_cl = [], [], []
@@ -171,6 +173,7 @@ def refine_prediction(
     hop_s: float = 0.001,
     edge_s: float = 0.006,
     min_contrast_db: float = 4.0,
+    env: Optional[np.ndarray] = None,
 ) -> Dict[str, list]:
     """Snap each onset to the best local rising energy edge and each offset to
     the best falling edge, within ±``search_ms``.
@@ -186,8 +189,9 @@ def refine_prediction(
     offsets = list(map(float, prediction["offset"]))
     if not onsets:
         return prediction
-    env = band_envelope_db(np.asarray(audio, dtype=np.float32), sr,
-                           hop_s=hop_s)
+    if env is None:
+        env = band_envelope_db(np.asarray(audio, dtype=np.float32), sr,
+                               hop_s=hop_s)
     if len(env) < 8:
         return prediction
     edge_frames = max(int(round(edge_s / hop_s)), 1)
@@ -268,3 +272,112 @@ def merge_small_gaps(
     out = dict(prediction)
     out["onset"], out["offset"], out["cluster"] = new_on, new_off, new_cl
     return out
+
+
+def apply_postprocess(
+    prediction: Dict[str, list],
+    audio: np.ndarray,
+    sr: int,
+    merge_gap_ms: Optional[float] = None,
+    split_merged_db: Optional[float] = None,
+    refine_boundaries_ms: Optional[float] = None,
+    min_len_s: float = 0.01,
+    env: Optional[np.ndarray] = None,
+) -> Dict[str, list]:
+    """Apply the opt-in post-processing chain in its canonical order:
+    merge small gaps -> split merged segments -> refine boundaries.
+
+    This is the single definition of the order used by ``Segmenter.segment``
+    and by :func:`fit_postprocess`; a zero/None knob disables that stage.
+    The merge runs first so a wrong merge across a genuine energy valley is
+    re-cut by the split stage."""
+    if not (merge_gap_ms or split_merged_db or refine_boundaries_ms):
+        return prediction
+    if env is None and (split_merged_db or refine_boundaries_ms):
+        env = band_envelope_db(np.asarray(audio, dtype=np.float32), sr)
+    if merge_gap_ms:
+        prediction = merge_small_gaps(prediction, gap_s=merge_gap_ms / 1000.0)
+    if split_merged_db:
+        prediction = split_merged_segments(prediction, audio, sr,
+                                           drop_db=split_merged_db,
+                                           min_len_s=min_len_s, env=env)
+    if refine_boundaries_ms:
+        prediction = refine_prediction(prediction, audio, sr,
+                                       search_ms=refine_boundaries_ms, env=env)
+    return prediction
+
+
+POSTPROCESS_KEYS = ("merge_gap_ms", "split_merged_db", "refine_boundaries_ms")
+
+
+def fit_postprocess(
+    predictions,
+    labels,
+    audios,
+    srs,
+    merge_gap_ms=(0.0, 5.0, 10.0),
+    split_db=(0.0, 10.0, 12.0, 15.0),
+    widths_ms=(0.0, 20.0, 30.0, 40.0, 60.0),
+    min_len_s: float = 0.01,
+):
+    """Grid-fit the post-processing knobs on a labeled set (intended: the
+    TRAINING files) by maximizing micro segment F1, tie-broken by frame F1
+    and then by simplicity (fewest active knobs, smallest values) so the
+    no-op chain wins whenever post-processing does not measurably help.
+
+    ``predictions`` are raw ``segment()`` outputs for ``audios`` (decode once,
+    fit many). Per-file scoring tolerance / frame resolution come from each
+    label's ``tolerance`` / ``time_per_frame_for_scoring`` keys with the
+    reference's defaults (reference model.py:494-495, 519-520).
+
+    Returns ``(best_params, table)`` where ``best_params`` maps
+    ``POSTPROCESS_KEYS`` to the winning (nonzero) values — an empty dict means
+    post-processing off — and ``table`` maps ``"merge_g+split_d+refine_w"``
+    combo names to their ``{"segment_F1", "frame_F1"}`` train scores.
+    """
+    from itertools import product
+
+    from .scoring import frame_score, segment_score
+
+    envs = [band_envelope_db(np.asarray(a, dtype=np.float32), sr)
+            for a, sr in zip(audios, srs)]
+    tols = [lab.get("tolerance",
+                    lab.get("spec_time_step", 0.0025) * 4) for lab in labels]
+    tpfs = [lab.get("time_per_frame_for_scoring",
+                    min(0.001, lab.get("spec_time_step", 0.0025)))
+            for lab in labels]
+
+    def micro(preds):
+        seg_tp = seg_p = seg_l = fr_tp = fr_p = fr_l = 0.0
+        for pred, lab, tol, tpf in zip(preds, labels, tols, tpfs):
+            tp, p, l = segment_score(pred, lab, tolerance=tol)[:3]
+            seg_tp += tp; seg_p += p; seg_l += l
+            tp, p, l = frame_score(pred, lab, time_per_frame_for_scoring=tpf)[:3]
+            fr_tp += tp; fr_p += p; fr_l += l
+
+        def f1(tp, p, l):
+            pr, rc = tp / max(p, 1e-9), tp / max(l, 1e-9)
+            return 2 * pr * rc / max(pr + rc, 1e-9)
+
+        return f1(seg_tp, seg_p, seg_l), f1(fr_tp, fr_p, fr_l)
+
+    best, best_key, table = None, None, {}
+    for g, d, w in product(merge_gap_ms, split_db, widths_ms):
+        processed = [
+            apply_postprocess(pred, audio, sr, merge_gap_ms=g,
+                              split_merged_db=d, refine_boundaries_ms=w,
+                              min_len_s=min_len_s, env=env)
+            for pred, audio, sr, env in zip(predictions, audios, srs, envs)
+        ]
+        seg_f1, fr_f1 = micro(processed)
+        name = f"merge_{g:g}+split_{d:g}+refine_{w:g}"
+        table[name] = {"segment_F1": round(seg_f1, 4),
+                       "frame_F1": round(fr_f1, 4)}
+        simplicity = (-sum(1 for v in (g, d, w) if v), -g, -d, -w)
+        key = (round(seg_f1, 4), round(fr_f1, 4), simplicity)
+        if best_key is None or key > best_key:
+            best_key, best = key, (g, d, w)
+
+    g, d, w = best
+    params = {k: v for k, v in zip(POSTPROCESS_KEYS, (g, d, w)) if v}
+    return params, table

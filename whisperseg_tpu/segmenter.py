@@ -405,6 +405,17 @@ class Segmenter:
             min_frequency = self.default_segmentation_config.get("min_frequency", 0)
         if spec_time_step is None:
             spec_time_step = self.default_segmentation_config.get("spec_time_step", 0.0025)
+        # Post-processing knobs follow the same precedence chain; a fitted
+        # combination (scripts/fit_postprocess.py) stored in the checkpoint's
+        # default_segmentation_config activates by default. Pass an explicit
+        # 0 to disable a stage the checkpoint enables.
+        if merge_gap_ms is None:
+            merge_gap_ms = self.default_segmentation_config.get("merge_gap_ms", 0)
+        if split_merged_db is None:
+            split_merged_db = self.default_segmentation_config.get("split_merged_db", 0)
+        if refine_boundaries_ms is None:
+            refine_boundaries_ms = self.default_segmentation_config.get(
+                "refine_boundaries_ms", 0)
         if min_segment_length is None:
             min_segment_length = spec_time_step * RATIO
         if eps is None:
@@ -452,27 +463,15 @@ class Segmenter:
             final["offset"] = [c[1] for c in clean]
             final["cluster"] = [c[2] for c in clean]
 
-        if merge_gap_ms:
-            # opt-in merge of implausibly small predicted gaps (spurious
-            # splits; see refine.merge_small_gaps). Runs before the energy
-            # split so a wrong merge over a genuine energy valley is re-cut.
-            from .refine import merge_small_gaps
+        # Opt-in post-processing chain (merge -> split -> refine; beyond
+        # reference, see refine.py for rationale and the canonical order).
+        from .refine import apply_postprocess
 
-            final = merge_small_gaps(final, gap_s=merge_gap_ms / 1000.0)
-        if split_merged_db:
-            # opt-in energy-valley split of merged segments (see refine.py)
-            from .refine import split_merged_segments
-
-            final = split_merged_segments(final, audio, sr,
-                                          drop_db=split_merged_db,
-                                          min_len_s=min_segment_length)
-        if refine_boundaries_ms:
-            # opt-in energy-edge snap (beyond reference; see refine.py)
-            from .refine import refine_prediction
-
-            final = refine_prediction(final, audio, sr,
-                                      search_ms=refine_boundaries_ms)
-        return final
+        return apply_postprocess(
+            final, audio, sr, merge_gap_ms=merge_gap_ms,
+            split_merged_db=split_merged_db,
+            refine_boundaries_ms=refine_boundaries_ms,
+            min_len_s=min_segment_length)
 
     # ------------------------------------------------------------------- scoring
 
