@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--refine_boundaries_ms", type=float, default=None,
                         help="opt-in energy-edge boundary refinement: search "
                              "half-width in ms (see whisperseg_tpu/refine.py)")
+    parser.add_argument("--frame_mode", type=int, default=0,
+                        help="1: score the decoder-free frame-VAD path "
+                             "(Segmenter.segment_from_frames; requires a "
+                             "model trained with --frame_head)")
     args = parser.parse_args(argv)
 
     from whisperseg_tpu.evaluate import evaluate_dataset
@@ -42,6 +46,7 @@ def main(argv=None):
         refine_boundaries_ms=args.refine_boundaries_ms,
         split_merged_db=args.split_merged_db,
         merge_gap_ms=args.merge_gap_ms,
+        frame_mode=bool(args.frame_mode),
     )
     print(json.dumps(res, indent=2))
 

@@ -1,0 +1,382 @@
+"""Tests for the auxiliary encoder frame head (beyond reference).
+
+The head predicts vocal activity / onset events / offset events / cluster ids
+per encoder position (= one decoder timestamp quantum), trained jointly with
+the seq2seq objective; it powers learned boundary refinement and the
+decoder-free frame-VAD mode (Segmenter.segment_from_frames).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisperseg_tpu.data import build_frame_targets
+from whisperseg_tpu.models.config import WhisperConfig
+from whisperseg_tpu.models.whisper import (
+    encoder_forward,
+    ensure_frame_head,
+    frame_head_forward,
+    frame_head_loss,
+    init_frame_head,
+    init_params,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(d_model=64, encoder_layers=1, decoder_layers=1, num_heads=2,
+                d_ff=128, max_source_positions=50, max_target_positions=32,
+                total_spec_columns=100, compute_dtype="float32",
+                frame_head=True, frame_head_clusters=3)
+    base.update(kw)
+    return WhisperConfig(**base)
+
+
+# ------------------------------------------------------------------- targets
+
+
+def test_build_frame_targets_hand_case():
+    # quantum = 0.01 * 2 = 0.02 s, S = 100 // 2 = 50 positions
+    t = build_frame_targets(onsets=[0.10], offsets=[0.20], cluster_ids=[2],
+                            spec_time_step=0.01, total_spec_columns=100,
+                            sigma=0.0)
+    assert t["vocal"].shape == (50,)
+    # onset at col 5, offset at col 10 -> vocal on [5, 10)
+    assert t["vocal"][4] == 0 and t["vocal"][5] == 1
+    assert t["vocal"][9] == 1 and t["vocal"][10] == 0
+    assert t["onset"][5] == 1 and t["onset"].sum() == 1
+    assert t["offset"][10] == 1 and t["offset"].sum() == 1
+    assert t["cluster"][7] == 2 and t["cluster"][4] == -1
+
+
+def test_build_frame_targets_sigma_smooths_and_clips_edge():
+    t = build_frame_targets([0.0], [1.0], [0], spec_time_step=0.01,
+                            total_spec_columns=100, sigma=1.0)
+    # offset quantizes to col 50 == S -> event marker clips to the last position
+    assert t["offset"][49] == pytest.approx(1.0)
+    # Gaussian tails present around the onset at col 0
+    assert 0 < t["onset"][1] < 1
+    assert t["vocal"].sum() == 50  # fully vocal
+
+
+def test_build_frame_targets_zero_length_segment_still_marks_one_position():
+    t = build_frame_targets([0.201], [0.201], [1], spec_time_step=0.01,
+                            total_spec_columns=100, sigma=0.0)
+    assert t["vocal"].sum() == 1
+    assert t["vocal"][10] == 1
+
+
+# -------------------------------------------------------------- model + loss
+
+
+def test_frame_head_forward_shapes_and_loss_grads():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "frame_head" in params
+    feats = jnp.asarray(np.random.RandomState(0).randn(2, 80, 100), jnp.float32)
+    enc = encoder_forward(params, cfg, feats)
+    logits = frame_head_forward(params, cfg, enc)
+    assert logits.shape == (2, 50, 3 + 3)
+
+    targets = {
+        "vocal": jnp.zeros((2, 50)).at[:, 10:20].set(1.0),
+        "onset": jnp.zeros((2, 50)).at[:, 10].set(1.0),
+        "offset": jnp.zeros((2, 50)).at[:, 20].set(1.0),
+        "cluster": jnp.full((2, 50), -1, jnp.int32).at[:, 10:20].set(1),
+    }
+
+    def loss_fn(p):
+        return frame_head_loss(frame_head_forward(p, cfg, encoder_forward(p, cfg, feats)),
+                               targets)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    g = grads["frame_head"]["h2_w"]
+    assert float(jnp.abs(g).sum()) > 0
+    # encoder receives gradient through the head too
+    assert float(jnp.abs(grads["encoder"]["conv1_w"]).sum()) > 0
+
+
+def test_frame_head_loss_ignores_unlabeled_cluster_positions():
+    logits = jnp.zeros((1, 8, 3 + 2))
+    base = {
+        "vocal": jnp.zeros((1, 8)), "onset": jnp.zeros((1, 8)),
+        "offset": jnp.zeros((1, 8)),
+        "cluster": jnp.full((1, 8), -1, jnp.int32),
+    }
+    all_ignored = frame_head_loss(logits, base)
+    labeled = frame_head_loss(logits, {**base,
+                                       "cluster": base["cluster"].at[0, 0].set(1)})
+    assert labeled > all_ignored  # the CE term only appears with labels
+
+
+def test_ensure_frame_head_adds_and_widens():
+    cfg = tiny_cfg(frame_head_clusters=0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    bare = {"encoder": params["encoder"], "decoder": params["decoder"]}
+    added = ensure_frame_head(bare, cfg, jax.random.PRNGKey(1))
+    assert added["frame_head"]["h2_w"].shape[-1] == 3
+
+    # widening to 5 clusters keeps the trained first 3 outputs
+    cfg5 = tiny_cfg(frame_head_clusters=5)
+    wide = ensure_frame_head(added, cfg5, jax.random.PRNGKey(2))
+    assert wide["frame_head"]["h2_w"].shape[-1] == 8
+    np.testing.assert_allclose(np.asarray(wide["frame_head"]["h2_w"])[:, :3],
+                               np.asarray(added["frame_head"]["h2_w"]))
+    # unchanged head passes through untouched
+    same = ensure_frame_head(wide, cfg5, jax.random.PRNGKey(3))
+    assert same["frame_head"] is wide["frame_head"]
+
+
+def test_train_step_with_frame_head_decreases_loss():
+    import optax
+
+    from whisperseg_tpu.training.trainer import build_train_step
+
+    cfg = tiny_cfg(frame_head_clusters=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = build_train_step(cfg, opt, frame_head_weight=1.0)
+
+    rs = np.random.RandomState(1)
+    batch = {
+        "input_features": jnp.asarray(rs.randn(2, 80, 100), jnp.float32),
+        "decoder_input_ids": jnp.asarray(rs.randint(0, 50, (2, 8)), jnp.int32),
+        "labels": jnp.asarray(rs.randint(0, 50, (2, 8)), jnp.int32),
+        "frame_targets": {
+            "vocal": jnp.zeros((2, 50)).at[:, 5:15].set(1.0),
+            "onset": jnp.zeros((2, 50)).at[:, 5].set(1.0),
+            "offset": jnp.zeros((2, 50)).at[:, 15].set(1.0),
+            "cluster": jnp.full((2, 50), -1, jnp.int32).at[:, 5:15].set(1),
+        },
+    }
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(25):
+        params, opt_state, loss = step(params, opt_state, batch, rng)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_freeze_encoder_with_frame_head_params():
+    from whisperseg_tpu.training.trainer import make_optimizer
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt, _ = make_optimizer(params, 1e-4, 0.01, 0, 100, "linear",
+                            freeze_encoder=True)  # warmup 0: lr > 0 at step 0
+    state = opt.init(params)  # would raise if the label tree mismatched
+
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    assert float(jnp.abs(updates["encoder"]["conv1_w"]).sum()) == 0.0
+    assert float(jnp.abs(updates["frame_head"]["h2_w"]).sum()) > 0.0
+
+
+# ----------------------------------------------------------- dataset plumbing
+
+
+def test_dataset_emits_frame_targets():
+    from whisperseg_tpu.data import VocalSegDataset
+
+    sr = 16000
+    audio = np.random.RandomState(0).randn(sr).astype(np.float32) * 0.01
+    label = {"sr": sr, "spec_time_step": 0.01, "min_frequency": 0,
+             "species": "unknown",
+             "onset": np.array([0.1]), "offset": np.array([0.3]),
+             "cluster_id": np.array([0])}
+    ds = VocalSegDataset([audio], [label], max_length=20,
+                         total_spec_columns=100, frame_targets=True)
+    item = ds[0]
+    assert set(item["frame_targets"]) == {"vocal", "onset", "offset", "cluster"}
+    assert item["frame_targets"]["vocal"].shape == (50,)
+    batch = ds.collate([item, ds[0]])
+    assert batch["frame_targets"]["vocal"].shape == (2, 50)
+    assert batch["frame_targets"]["cluster"].dtype == np.int32
+
+
+# -------------------------------------------------------- checkpoint roundtrip
+
+
+def test_checkpoint_roundtrip_preserves_frame_head(tmp_path):
+    from whisperseg_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = tiny_cfg(frame_head_clusters=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    save_checkpoint(str(tmp_path / "ck"), params, cfg)
+    p2, cfg2 = load_checkpoint(str(tmp_path / "ck"))
+    assert cfg2.frame_head and cfg2.frame_head_clusters == 2
+    np.testing.assert_allclose(np.asarray(p2["frame_head"]["h2_w"]),
+                               np.asarray(params["frame_head"]["h2_w"]),
+                               rtol=1e-6)
+
+
+# -------------------------------------------------------------- segmenter API
+
+
+def make_segmenter(cfg=None):
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = cfg or tiny_cfg(frame_head_clusters=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return Segmenter(params, cfg, inference_dtype="float32")
+
+
+def test_frame_probs_shapes_and_range():
+    seg = make_segmenter()
+    sr = 16000
+    audio = np.random.RandomState(0).randn(int(1.5 * sr)).astype(np.float32)
+    tracks = seg.frame_probs(audio, sr=sr, spec_time_step=0.01, batch_size=2)
+    quantum = 0.02
+    n_t = int(np.ceil(1.5 / quantum))
+    for k in ("vocal", "onset", "offset"):
+        assert tracks[k].shape == (n_t,)
+        assert np.all((tracks[k] >= 0) & (tracks[k] <= 1))
+    assert tracks["cluster"].shape == (n_t,)
+    assert tracks["quantum"] == pytest.approx(quantum)
+
+
+def test_frame_probs_requires_head():
+    seg = make_segmenter(tiny_cfg(frame_head=False, frame_head_clusters=0))
+    with pytest.raises(ValueError, match="frame head"):
+        seg.frame_probs(np.zeros(16000, np.float32), sr=16000,
+                        spec_time_step=0.01)
+
+
+def test_segment_from_frames_extracts_runs_cuts_and_snaps(monkeypatch):
+    """Deterministic end-to-end check of the run/cut/snap logic on crafted
+    probability tracks (the model itself is untrained)."""
+    seg = make_segmenter()
+    seg.cluster_codebook = {"a": 0, "b": 1}
+    seg.config.cluster_codebook = dict(seg.cluster_codebook)
+
+    T, q = 50, 0.02
+    vocal = np.zeros(T, np.float32)
+    onset = np.zeros(T, np.float32)
+    offset = np.zeros(T, np.float32)
+    cluster = np.zeros(T, np.int32)
+    # one long vocal run [10, 30) that is actually TWO vocalizations glued at
+    # position 20 (both event tracks fire there), plus a clean run [35, 40)
+    vocal[10:30] = 1.0
+    vocal[35:40] = 1.0
+    onset[10] = 1.0
+    onset[20] = 0.9
+    offset[20] = 0.9
+    offset[30] = 1.0
+    onset[35] = 1.0
+    offset[40] = 1.0
+    cluster[10:20] = 0
+    cluster[20:30] = 1
+    cluster[35:40] = 1
+
+    tracks = {"vocal": vocal, "onset": onset, "offset": offset,
+              "cluster": cluster, "quantum": q}
+    monkeypatch.setattr(type(seg), "frame_probs",
+                        lambda self, *a, **k: tracks)
+
+    sr = 16000
+    audio = np.zeros(sr, np.float32)  # 1 s; fft_time_delta(16000)=512/2/16000=0.016
+    pred = seg.segment_from_frames(audio, sr=sr, spec_time_step=0.01)
+    assert pred["cluster"] == ["a", "b", "b"]
+    delta = 512 / 2 / 16000
+    np.testing.assert_allclose(
+        pred["onset"], [10 * q + delta, 20 * q + delta, 35 * q + delta],
+        atol=1e-9)
+    np.testing.assert_allclose(
+        pred["offset"], [20 * q - delta, 30 * q - delta, 40 * q - delta],
+        atol=1e-9)
+
+
+def test_segment_from_frames_empty_on_silence(monkeypatch):
+    seg = make_segmenter()
+    T = 50
+    tracks = {"vocal": np.zeros(T, np.float32), "onset": np.zeros(T, np.float32),
+              "offset": np.zeros(T, np.float32),
+              "cluster": np.zeros(T, np.int32), "quantum": 0.02}
+    monkeypatch.setattr(type(seg), "frame_probs", lambda self, *a, **k: tracks)
+    pred = seg.segment_from_frames(np.zeros(16000, np.float32), sr=16000,
+                                   spec_time_step=0.01)
+    assert pred == {"onset": [], "offset": [], "cluster": []}
+
+
+def test_segment_from_frames_parabolic_interpolation(monkeypatch):
+    """An asymmetric peak pulls the boundary off the integer grid."""
+    seg = make_segmenter(tiny_cfg(frame_head_clusters=0))
+    T, q = 50, 0.02
+    vocal = np.zeros(T, np.float32)
+    onset = np.zeros(T, np.float32)
+    offset = np.zeros(T, np.float32)
+    vocal[10:20] = 1.0
+    onset[9], onset[10], onset[11] = 0.6, 1.0, 0.2  # peak biased left of 10
+    offset[20] = 1.0
+    tracks = {"vocal": vocal, "onset": onset, "offset": offset,
+              "cluster": np.full(T, -1, np.int32), "quantum": q}
+    monkeypatch.setattr(type(seg), "frame_probs", lambda self, *a, **k: tracks)
+    pred = seg.segment_from_frames(np.zeros(16000, np.float32), sr=16000,
+                                   spec_time_step=0.01)
+    delta = 512 / 2 / 16000
+    # interpolated onset position: 10 + 0.5*(0.6-0.2)/(0.6-2+0.2) = 10 - 1/6
+    expect = (10 - 1.0 / 6.0) * q + delta
+    assert pred["onset"][0] == pytest.approx(round(expect, 3), abs=2e-3)
+    assert pred["cluster"] == ["Vocal"]
+
+
+# ------------------------------------------------------- end-to-end training
+
+
+def test_frame_head_end_to_end_training(tmp_path):
+    """run_training with --frame_head on the synthetic tone dataset: the
+    checkpoint carries the head + config, and the trained vocal track
+    separates tone bursts from silence."""
+    from test_training import make_tone_dataset, tiny_ckpt
+
+    from whisperseg_tpu.segmenter import Segmenter
+    from whisperseg_tpu.training import TrainArgs, run_training
+
+    data_dir = make_tone_dataset(str(tmp_path / "data"), n_files=4)
+    init = tiny_ckpt(tmp_path)
+    args = TrainArgs(
+        initial_model_path=init,
+        model_folder=str(tmp_path / "model"),
+        train_dataset_folder=data_dir,
+        total_spec_columns=200,
+        max_length=48,
+        batch_size=8,
+        learning_rate=1e-3,
+        warmup_steps=20,
+        max_num_iterations=300,
+        min_num_iterations=300,
+        print_every=100,
+        val_ratio=0.0,
+        seed=7,
+        frame_head=True,
+        frame_head_weight=2.0,
+    )
+    final = run_training(args)
+    assert final is not None
+
+    seg = Segmenter.from_pretrained(final, inference_dtype="float32")
+    assert seg.config.frame_head
+    assert "frame_head" in seg.params
+
+    # one of the training files: bursts are loud 2 kHz tones
+    import json as _json
+
+    label = _json.load(open(data_dir + "/f0.json"))
+    from whisperseg_tpu.audio.io import load_audio
+
+    audio, sr = load_audio(data_dir + "/f0.wav", sr=label["sr"])
+    tracks = seg.frame_probs(audio, sr=sr, spec_time_step=0.01)
+    q = tracks["quantum"]
+    inside = np.zeros(len(tracks["vocal"]), bool)
+    for on, off in zip(label["onset"], label["offset"]):
+        inside[int(np.round(on / q)):int(np.round(off / q))] = True
+    assert tracks["vocal"][inside].mean() > tracks["vocal"][~inside].mean()
+
+    # the decoder-free mode produces a sane prediction dict
+    pred = seg.segment_from_frames(audio, sr=sr, spec_time_step=0.01)
+    assert set(pred) == {"onset", "offset", "cluster"}
+    for on, off in zip(pred["onset"], pred["offset"]):
+        assert 0 <= on < off <= len(audio) / sr + 1e-6

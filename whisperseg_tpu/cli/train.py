@@ -71,6 +71,16 @@ def build_parser():
                    help=">0: replace one-hot timestamp targets with a "
                         "discrete Gaussian over neighboring columns (stddev "
                         "in columns) — distance-aware boundary loss")
+    p.add_argument("--frame_head", type=int, default=0,
+                   help="train the auxiliary encoder frame head (per-timestamp-"
+                        "quantum vocal/onset/offset/cluster logits) jointly "
+                        "with the seq2seq loss; enables learned boundary "
+                        "refinement and the decoder-free frame-VAD mode")
+    p.add_argument("--frame_head_weight", type=float, default=1.0,
+                   help="frame-head loss weight relative to the token CE")
+    p.add_argument("--frame_label_sigma", type=float, default=1.0,
+                   help="Gaussian stddev (grid positions) of the soft "
+                        "onset/offset event targets for the frame head")
     p.add_argument("--synth_augment", type=int, default=0,
                    help="add N splice-synthesized training files built from "
                         "real syllables and noise beds with exact boundaries "
@@ -126,6 +136,9 @@ def main(argv=None):
         qat_bits=a.qat_bits,
         timestamp_loss_weight=a.timestamp_loss_weight,
         timestamp_label_sigma=a.timestamp_label_sigma,
+        frame_head=bool(a.frame_head),
+        frame_head_weight=a.frame_head_weight,
+        frame_label_sigma=a.frame_label_sigma,
         synth_augment=a.synth_augment,
         spec_augment=bool(a.spec_augment),
         dropout=a.dropout,

@@ -276,6 +276,43 @@ def slice_audios_and_labels(audio_list, label_list, total_spec_columns: int):
 # ---------------------------------------------------------------------- dataset
 
 
+def build_frame_targets(onsets, offsets, cluster_ids, spec_time_step: float,
+                        total_spec_columns: int, sigma: float = 1.0):
+    """Per-encoder-position targets for the optional frame head.
+
+    The grid has ``S = total_spec_columns // 2`` positions; one position = one
+    decoder timestamp quantum (= ``spec_time_step * RATIO`` seconds), so the
+    head and the decoder's timestamp tokens share a time base. Returns a dict:
+    ``vocal`` [S] float32 0/1, ``onset`` / ``offset`` [S] float32 soft event
+    tracks (max of per-event discrete Gaussians, stddev ``sigma`` positions),
+    ``cluster`` [S] int32 (-1 where unlabeled). Boundary events at the clip
+    edge clip onto the last grid position."""
+    from .constants import RATIO_DECODING_TIME_STEP_TO_SPEC_TIME_STEP as RATIO
+
+    S = total_spec_columns // 2
+    quantum = spec_time_step * RATIO
+    vocal = np.zeros(S, dtype=np.float32)
+    onset_evt = np.zeros(S, dtype=np.float32)
+    offset_evt = np.zeros(S, dtype=np.float32)
+    cluster = np.full(S, -1, dtype=np.int32)
+    grid = np.arange(S, dtype=np.float32)
+    for on, off, cid in zip(onsets, offsets, cluster_ids):
+        c_on = min(int(np.round(float(on) / quantum)), S)
+        c_off = min(int(np.round(float(off) / quantum)), S)
+        c_on = min(c_on, S - 1)
+        c_off = max(c_off, c_on + 1)
+        vocal[c_on:c_off] = 1.0
+        cluster[c_on:c_off] = int(cid)
+        for track, c in ((onset_evt, c_on), (offset_evt, min(c_off, S - 1))):
+            if sigma > 0:
+                np.maximum(track, np.exp(-0.5 * ((grid - c) / sigma) ** 2),
+                           out=track)
+            else:
+                track[c] = 1.0
+    return {"vocal": vocal, "onset": onset_evt, "offset": offset_evt,
+            "cluster": cluster}
+
+
 class VocalSegDataset:
     """Random-crop training dataset (reference datautils.py:304-390).
 
@@ -284,7 +321,8 @@ class VocalSegDataset:
     """
 
     def __init__(self, audio_list, label_list, max_length: int,
-                 total_spec_columns: int, extra_token_ids: dict = None):
+                 total_spec_columns: int, extra_token_ids: dict = None,
+                 frame_targets: bool = False, frame_sigma: float = 1.0):
         self.audio_list = audio_list
         self.label_list = label_list
         self.max_length = max_length
@@ -293,6 +331,8 @@ class VocalSegDataset:
         # whose BPE merged multi-digit cluster ids (models/convert_hf.py):
         # targets then use the same tokens the imported model generates
         self.extra_token_ids = extra_token_ids or None
+        self.frame_targets = frame_targets
+        self.frame_sigma = frame_sigma
         self._frontends: Dict[Tuple, Frontend] = {}
 
     def __len__(self):
@@ -332,12 +372,17 @@ class VocalSegDataset:
 
         full = np.zeros(num_samples, dtype=np.float32)
         full[: len(clip)] = clip
-        return {
+        item = {
             "audio_clip": full,
             "frontend_key": (sr, step, label.get("min_frequency", 0)),
             "decoder_input_ids": np.asarray(dec_inputs, dtype=np.int32),
             "labels": np.asarray(labels, dtype=np.int32),
         }
+        if self.frame_targets:
+            item["frame_targets"] = build_frame_targets(
+                onset, offset, cluster_id, step, self.total_spec_columns,
+                sigma=self.frame_sigma)
+        return item
 
     def collate(self, items) -> Dict[str, np.ndarray]:
         """Assemble a batch; features computed on device per frontend group."""
@@ -351,11 +396,17 @@ class VocalSegDataset:
             f = np.asarray(frontend.features_for_clips(clips, self.total_spec_columns))
             for j, i in enumerate(idxs):
                 feats[i] = f[j]
-        return {
+        batch = {
             "input_features": feats,
             "decoder_input_ids": np.stack([it["decoder_input_ids"] for it in items]),
             "labels": np.stack([it["labels"] for it in items]),
         }
+        if self.frame_targets:
+            batch["frame_targets"] = {
+                k: np.stack([it["frame_targets"][k] for it in items])
+                for k in ("vocal", "onset", "offset", "cluster")
+            }
+        return batch
 
 
 class DataLoader:

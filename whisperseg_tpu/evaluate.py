@@ -13,7 +13,7 @@ from .audio.io import load_audio
 def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
              num_trials, num_beams: int = 4, target_cluster: Optional[str] = None,
              verbose: bool = True, refine_boundaries_ms=None,
-             split_merged_db=None, merge_gap_ms=None):
+             split_merged_db=None, merge_gap_ms=None, frame_mode: bool = False):
     """Micro-averaged segment-wise and frame-wise P/R/F1 over a corpus
     (reference evaluate.py:9-51). Per-label ``tolerance`` /
     ``time_per_frame_for_scoring`` fields are intentionally ignored, as in the
@@ -25,19 +25,29 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
     if verbose:
         iterator = tqdm(iterator, total=len(audio_list))
     for audio, label in iterator:
-        prediction = segmenter.segment(
-            audio,
-            sr=label["sr"],
-            min_frequency=label.get("min_frequency", None),
-            spec_time_step=label.get("spec_time_step", None),
-            max_length=max_length,
-            batch_size=batch_size,
-            num_trials=num_trials,
-            num_beams=num_beams,
-            refine_boundaries_ms=refine_boundaries_ms,
-            split_merged_db=split_merged_db,
-            merge_gap_ms=merge_gap_ms,
-        )
+        if frame_mode:
+            # decoder-free frame-VAD path (requires --frame_head training)
+            prediction = segmenter.segment_from_frames(
+                audio,
+                sr=label["sr"],
+                min_frequency=label.get("min_frequency", None),
+                spec_time_step=label.get("spec_time_step", None),
+                batch_size=batch_size,
+            )
+        else:
+            prediction = segmenter.segment(
+                audio,
+                sr=label["sr"],
+                min_frequency=label.get("min_frequency", None),
+                spec_time_step=label.get("spec_time_step", None),
+                max_length=max_length,
+                batch_size=batch_size,
+                num_trials=num_trials,
+                num_beams=num_beams,
+                refine_boundaries_ms=refine_boundaries_ms,
+                split_merged_db=split_merged_db,
+                merge_gap_ms=merge_gap_ms,
+            )
         tp, p_pred, p_label = segmenter.segment_score(
             prediction, label, target_cluster=target_cluster)[:3]
         seg_tp += tp
@@ -65,7 +75,7 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      max_length: int = 448, num_beams: int = 4,
                      batch_size: int = 8, inference_dtype: str = "bfloat16",
                      refine_boundaries_ms=None, split_merged_db=None,
-                     merge_gap_ms=None,
+                     merge_gap_ms=None, frame_mode: bool = False,
                      **kwargs):
     """(reference evaluate.py:53-84)"""
     from .segmenter import Segmenter
@@ -84,7 +94,8 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
     res = evaluate(audio_list, label_list, segmenter, batch_size, max_length,
                    num_trials, num_beams, target_cluster=None,
                    refine_boundaries_ms=refine_boundaries_ms,
-                   split_merged_db=split_merged_db, merge_gap_ms=merge_gap_ms)
+                   split_merged_db=split_merged_db, merge_gap_ms=merge_gap_ms,
+                   frame_mode=frame_mode)
 
     def expand(row):
         return {

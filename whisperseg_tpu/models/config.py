@@ -41,6 +41,17 @@ class WhisperConfig:
     compute_dtype: str = "bfloat16"  # dtype of matmul inputs; params stay float32
     remat: bool = False  # rematerialize layer activations in backward (memory)
 
+    # --- optional encoder frame head (beyond reference) ----------------------
+    # A per-encoder-position classification head trained jointly with the
+    # seq2seq objective. One encoder position = RATIO spectrogram columns =
+    # exactly one decoder timestamp quantum, so the head predicts, on the
+    # same grid the decoder's timestamps live on: vocal activity, onset
+    # events, offset events, and (when frame_head_clusters > 0) the cluster.
+    # Used for learned boundary refinement / merged-segment splitting and for
+    # a decoder-free fast VAD mode (Segmenter.segment_from_frames).
+    frame_head: bool = False
+    frame_head_clusters: int = 0  # cluster logits (0 = no cluster channel)
+
     # --- segmentation metadata (persisted with checkpoints) ---
     total_spec_columns: int = DEFAULT_TOTAL_SPEC_COLUMNS
     # Extended-vocabulary surfaces for ids >= tokenizer.VOCAB_SIZE: multi-digit
@@ -82,6 +93,7 @@ class WhisperConfig:
             # the COUNT of extended tokens shapes the traced grammar mask
             # (decode.py); their surfaces are host-side-only
             len(self.extra_tokens),
+            self.frame_head, self.frame_head_clusters,
         )
 
     def __hash__(self):

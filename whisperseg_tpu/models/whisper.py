@@ -107,7 +107,88 @@ def init_params(key, cfg: WhisperConfig) -> Params:
         "layers": _stack_layers(k_dec, cfg, cfg.decoder_layers, cross=True),
         "ln_post_g": jnp.ones((d,)), "ln_post_b": jnp.zeros((d,)),
     }
-    return {"encoder": encoder, "decoder": decoder}
+    params = {"encoder": encoder, "decoder": decoder}
+    if cfg.frame_head:
+        params["frame_head"] = init_frame_head(key, cfg)
+    return params
+
+
+def init_frame_head(key, cfg: WhisperConfig) -> Params:
+    """Parameters of the optional per-encoder-position head: LN -> dense ->
+    gelu -> dense to [vocal, onset, offset] (+ cluster logits)."""
+    d = cfg.d_model
+    hidden = max(d // 2, 64)
+    out = 3 + cfg.frame_head_clusters
+    k1, k2 = jax.random.split(jax.random.fold_in(key, 0x5E6), 2)
+    return {
+        "ln_g": jnp.ones((d,)), "ln_b": jnp.zeros((d,)),
+        "h1_w": _dense_init(k1, (d, hidden)), "h1_b": jnp.zeros((hidden,)),
+        "h2_w": _dense_init(k2, (hidden, out)), "h2_b": jnp.zeros((out,)),
+    }
+
+
+def ensure_frame_head(params: Params, cfg: WhisperConfig, key) -> Params:
+    """Add a freshly initialized frame head to a parameter tree that lacks one
+    (e.g. an imported HF checkpoint or an earlier native checkpoint), so
+    ``--frame_head`` finetuning works from any starting point."""
+    fh = params.get("frame_head")
+    want_out = 3 + cfg.frame_head_clusters
+    if fh is not None and fh["h2_w"].shape[-1] == want_out:
+        return params
+    new = dict(params)
+    head = init_frame_head(key, cfg)
+    if fh is not None:
+        # cluster-count change: keep trained layers, widen/narrow the output
+        keep = min(fh["h2_w"].shape[-1], want_out)
+        fresh_w2 = head["h2_w"]
+        head = dict(fh)
+        head["h2_w"] = fresh_w2.at[:, :keep].set(jnp.asarray(fh["h2_w"])[:, :keep])
+        head["h2_b"] = jnp.zeros((want_out,)).at[:keep].set(
+            jnp.asarray(fh["h2_b"])[:keep])
+    new["frame_head"] = head
+    return new
+
+
+def frame_head_forward(params: Params, cfg: WhisperConfig, enc_out):
+    """Encoder hidden states [B, S, D] -> frame logits [B, S, 3 + C] float32.
+
+    Channels: 0 = vocal activity, 1 = onset event, 2 = offset event,
+    3.. = cluster logits. One position = one decoder timestamp quantum
+    (= RATIO spectrogram columns = spec_time_step * RATIO seconds)."""
+    fh = params["frame_head"]
+    cdt = jnp.dtype(cfg.compute_dtype)
+    h = _layer_norm(enc_out, fh["ln_g"], fh["ln_b"])
+    h = jax.nn.gelu(_dot(h, fh["h1_w"], cdt) + fh["h1_b"], approximate=False)
+    return (_dot(h, fh["h2_w"], cdt) + fh["h2_b"]).astype(jnp.float32)
+
+
+def frame_head_loss(logits, targets, cluster_pos_weight: float = 1.0):
+    """Multi-task frame loss.
+
+    ``targets`` is a dict of [B, S] arrays: ``vocal`` (0/1 float), ``onset`` /
+    ``offset`` (soft 0..1 float — Gaussian-smoothed events, built host-side in
+    data.py), and optionally ``cluster`` (int32, -1 = unlabeled position).
+    Binary channels use sigmoid BCE (mean over all positions); the cluster
+    channel uses softmax CE masked to labeled (vocal) positions."""
+    def bce(logit, target):
+        # numerically stable x - x*z + log(1 + exp(-x)) form
+        return jnp.mean(
+            jnp.maximum(logit, 0) - logit * target
+            + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+
+    loss = (bce(logits[..., 0], targets["vocal"])
+            + bce(logits[..., 1], targets["onset"])
+            + bce(logits[..., 2], targets["offset"]))
+    cluster = targets.get("cluster")
+    if cluster is not None and logits.shape[-1] > 3:
+        logp = jax.nn.log_softmax(logits[..., 3:], axis=-1)
+        mask = cluster >= 0
+        safe = jnp.where(mask, cluster, 0)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        denom = jnp.maximum(jnp.sum(mask), 1)
+        loss = loss + cluster_pos_weight * jnp.sum(
+            jnp.where(mask, nll, 0.0)) / denom
+    return loss
 
 
 def num_parameters(params: Params) -> int:

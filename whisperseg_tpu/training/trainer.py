@@ -88,6 +88,12 @@ class TrainArgs:
     timestamp_loss_weight: float = 1.0  # >1 upweights timestamp targets
     timestamp_label_sigma: float = 0.0  # >0: Gaussian-soft timestamp targets
     #                                     (stddev in spectrogram columns)
+    frame_head: bool = False  # train the auxiliary encoder frame head
+    #                           (vocal/onset/offset/cluster per timestamp
+    #                           quantum; models/whisper.frame_head_forward)
+    frame_head_weight: float = 1.0  # frame-loss weight relative to token CE
+    frame_label_sigma: float = 1.0  # Gaussian stddev (grid positions) of the
+    #                                 soft onset/offset event targets
     spec_augment: bool = False  # SpecAugment freq/time masking (regularizer)
     synth_augment: int = 0  # N: add N splice-synthesized training files built
     #                         from real syllables + noise beds (augment.py)
@@ -205,10 +211,13 @@ def make_optimizer(params, learning_rate: float, weight_decay: float,
                           mask=_decay_mask(params))
     if freeze_encoder:
         def label(tree):
-            return {"encoder": __import__("jax").tree.map(lambda _: "frozen",
-                                                          tree["encoder"]),
-                    "decoder": __import__("jax").tree.map(lambda _: "train",
-                                                          tree["decoder"])}
+            import jax
+
+            # freeze only the encoder trunk; any other subtree (decoder,
+            # frame_head, ...) keeps training
+            return {k: jax.tree.map(
+                lambda _: "frozen" if k == "encoder" else "train", v)
+                for k, v in tree.items()}
 
         opt = optax.multi_transform(
             {"train": opt, "frozen": optax.set_to_zero()}, label(params)
@@ -247,7 +256,8 @@ def spec_augment(features, rng, n_freq_masks: int = 2, freq_width: int = 10,
 def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0,
                      timestamp_loss_weight: float = 1.0,
                      timestamp_label_sigma: float = 0.0,
-                     use_spec_augment: bool = False):
+                     use_spec_augment: bool = False,
+                     frame_head_weight: float = 0.0):
     """The donated, jitted (fwd + bwd + AdamW) step.
 
     Sharding is carried by the *arguments*: params placed via
@@ -273,9 +283,16 @@ def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0,
                                   train=cfg.dropout > 0, dropout_rng=rng_enc)
             logits = decoder_forward_train(p, cfg, enc, batch["decoder_input_ids"],
                                            train=cfg.dropout > 0, dropout_rng=rng_dec)
-            return cross_entropy_loss(logits, batch["labels"],
+            loss = cross_entropy_loss(logits, batch["labels"],
                                       timestamp_weight=timestamp_loss_weight,
                                       timestamp_sigma=timestamp_label_sigma)
+            if frame_head_weight > 0 and "frame_targets" in batch:
+                from ..models.whisper import frame_head_forward, frame_head_loss
+
+                floss = frame_head_loss(frame_head_forward(p, cfg, enc),
+                                        batch["frame_targets"])
+                loss = loss + frame_head_weight * floss
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -331,6 +348,17 @@ def run_training(args: TrainArgs) -> Optional[str]:
     )
     segmenter.update_cluster_codebook(cluster_codebook)
 
+    if args.frame_head:
+        from ..models.whisper import ensure_frame_head
+
+        cfg.frame_head = True
+        cfg.frame_head_clusters = (max(cluster_codebook.values()) + 1
+                                   if cluster_codebook else 0)
+        params = ensure_frame_head(params, cfg,
+                                   jax.random.PRNGKey(args.seed ^ 0x5E6))
+        print(f"Frame head enabled ({cfg.frame_head_clusters} cluster "
+              f"channel(s)).")
+
     audio_list, label_list = load_data(
         audio_paths, label_paths, cluster_codebook=cluster_codebook, n_threads=20,
         default_config=default_config, ignore_cluster=args.ignore_cluster,
@@ -380,7 +408,9 @@ def run_training(args: TrainArgs) -> Optional[str]:
                        for i, p in enumerate(cfg.extra_tokens)} or None
     dataset = VocalSegDataset(audio_list, label_list, args.max_length,
                               args.total_spec_columns,
-                              extra_token_ids=extra_token_ids)
+                              extra_token_ids=extra_token_ids,
+                              frame_targets=args.frame_head,
+                              frame_sigma=args.frame_label_sigma)
     loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True,
                         num_workers=args.num_workers)
     if len(loader) == 0:
@@ -430,7 +460,8 @@ def run_training(args: TrainArgs) -> Optional[str]:
         cfg, opt, qat_bits=args.qat_bits,
         timestamp_loss_weight=args.timestamp_loss_weight,
         timestamp_label_sigma=args.timestamp_label_sigma,
-        use_spec_augment=args.spec_augment)
+        use_spec_augment=args.spec_augment,
+        frame_head_weight=args.frame_head_weight if args.frame_head else 0.0)
 
     # ------------------------------------------------------------ logging setup
     metrics_path = os.path.join(args.model_folder, "metrics.jsonl")
@@ -469,10 +500,10 @@ def run_training(args: TrainArgs) -> Optional[str]:
         for count, batch in enumerate(loader):
             rng, sub = jax.random.split(rng)
             if multi_device:
-                batch_dev = {k: jax.device_put(jnp.asarray(v), batch_shd)
-                             for k, v in batch.items()}
+                batch_dev = jax.tree.map(
+                    lambda v: jax.device_put(jnp.asarray(v), batch_shd), batch)
             else:
-                batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch_dev = jax.tree.map(jnp.asarray, batch)
             if args.profile_dir and current_step == 10:
                 jax.profiler.start_trace(args.profile_dir)
             params, opt_state, loss = train_step(params, opt_state, batch_dev, sub)
