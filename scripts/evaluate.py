@@ -31,6 +31,12 @@ def main(argv=None):
     parser.add_argument("--refine_boundaries_ms", type=float, default=None,
                         help="opt-in energy-edge boundary refinement: search "
                              "half-width in ms (see whisperseg_tpu/refine.py)")
+    parser.add_argument("--frame_split", type=float, default=None,
+                        help="opt-in frame-head split of decoder merges "
+                             "(cut threshold 0..1; needs --frame_head model)")
+    parser.add_argument("--frame_refine_ms", type=float, default=None,
+                        help="opt-in frame-head boundary snap (search ms; "
+                             "needs --frame_head model)")
     parser.add_argument("--frame_mode", type=int, default=0,
                         help="1: score the decoder-free frame-VAD path "
                              "(Segmenter.segment_from_frames; requires a "
@@ -47,6 +53,8 @@ def main(argv=None):
         split_merged_db=args.split_merged_db,
         merge_gap_ms=args.merge_gap_ms,
         frame_mode=bool(args.frame_mode),
+        frame_split=args.frame_split,
+        frame_refine_ms=args.frame_refine_ms,
     )
     print(json.dumps(res, indent=2))
 

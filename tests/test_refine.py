@@ -312,3 +312,170 @@ def test_segment_applies_checkpoint_default_postprocess(monkeypatch):
     assert len(calls) == 1
     seg.segment(y, merge_gap_ms=3, **common)  # explicit override
     assert calls[-1] == pytest.approx(0.003)
+
+
+# ----------------------------------------------- frame-head (learned) chain
+
+
+def _tracks(T=100, q=0.02, **spikes):
+    """Build a tracks dict; spikes maps track name -> {pos: value}."""
+    t = {"vocal": np.zeros(T, np.float32), "onset": np.zeros(T, np.float32),
+         "offset": np.zeros(T, np.float32),
+         "cluster": np.zeros(T, np.int32), "quantum": q}
+    for name, d in spikes.items():
+        for pos, val in d.items():
+            t[name][pos] = val
+    return t
+
+
+def test_frame_peak_pos_fallback_and_interpolation():
+    from whisperseg_tpu.refine import frame_peak_pos
+
+    track = np.zeros(50, np.float32)
+    # below min_peak -> stays at center
+    assert frame_peak_pos(track, 10, 3) == 10.0
+    # clear integer peak
+    track[12] = 1.0
+    assert frame_peak_pos(track, 10, 3) == 12.0
+    # asymmetric shoulder pulls the peak off-grid (parabolic)
+    track[11], track[13] = 0.6, 0.2
+    p = frame_peak_pos(track, 10, 3)
+    assert 11.5 < p < 12.0
+    # out-of-range center clamps instead of crashing
+    assert frame_peak_pos(track, 200, 3) == 200.0
+
+
+def test_split_with_frame_tracks_cuts_where_both_events_fire():
+    from whisperseg_tpu.refine import split_with_frame_tracks
+
+    q, delta = 0.02, 0.008
+    # decoded segment [10q+delta, 30q-delta] (blur-corrected); internal
+    # boundary at grid position 20 where BOTH event tracks exceed 0.5
+    tr = _tracks(onset={20: 0.9}, offset={20: 0.8})
+    pred = {"onset": [10 * q + delta], "offset": [30 * q - delta],
+            "cluster": ["a"]}
+    out = split_with_frame_tracks(pred, tr, delta, cut_threshold=0.5)
+    assert out["cluster"] == ["a", "a"]
+    np.testing.assert_allclose(out["onset"],
+                               [10 * q + delta, 20 * q + delta], atol=1e-9)
+    np.testing.assert_allclose(out["offset"],
+                               [20 * q - delta, 30 * q - delta], atol=1e-9)
+    # one-sided events do NOT cut
+    tr2 = _tracks(onset={20: 0.9})
+    out2 = split_with_frame_tracks(pred, tr2, delta, cut_threshold=0.5)
+    assert out2["onset"] == pred["onset"]
+
+
+def test_split_with_frame_tracks_min_len_guard():
+    from whisperseg_tpu.refine import split_with_frame_tracks
+
+    q, delta = 0.02, 0.008
+    tr = _tracks(onset={11: 0.9}, offset={11: 0.9})
+    pred = {"onset": [10 * q + delta], "offset": [30 * q - delta],
+            "cluster": ["a"]}
+    # cutting at 11 would leave a left piece shorter than min_len_s
+    out = split_with_frame_tracks(pred, tr, delta, cut_threshold=0.5,
+                                  min_len_s=0.05)
+    assert len(out["onset"]) == 1
+
+
+def test_refine_with_frame_tracks_snaps_and_guards():
+    from whisperseg_tpu.refine import refine_with_frame_tracks
+
+    q, delta = 0.02, 0.008
+    # decoder put the boundary at grid 10/20; the head sees events at 12/19
+    tr = _tracks(onset={12: 1.0}, offset={19: 1.0})
+    pred = {"onset": [10 * q + delta], "offset": [20 * q - delta],
+            "cluster": ["a"]}
+    out = refine_with_frame_tracks(pred, tr, delta, search_ms=60.0)
+    np.testing.assert_allclose(out["onset"], [12 * q + delta], atol=1e-9)
+    np.testing.assert_allclose(out["offset"], [19 * q - delta], atol=1e-9)
+    # no nearby peak -> boundary stays put
+    out2 = refine_with_frame_tracks(pred, _tracks(), delta, search_ms=60.0)
+    np.testing.assert_allclose(out2["onset"], pred["onset"], atol=1e-9)
+    np.testing.assert_allclose(out2["offset"], pred["offset"], atol=1e-9)
+    # a snap that would invert the segment is rejected
+    tr3 = _tracks(onset={19: 1.0}, offset={12: 1.0})
+    out3 = refine_with_frame_tracks(pred, tr3, delta, search_ms=60.0)
+    np.testing.assert_allclose(out3["onset"], pred["onset"], atol=1e-9)
+
+
+def test_apply_frame_postprocess_chain_and_disable():
+    from whisperseg_tpu.refine import apply_frame_postprocess
+
+    q, delta = 0.02, 0.008
+    tr = _tracks(onset={20: 0.9, 10: 1.0}, offset={20: 0.9, 30: 1.0})
+    pred = {"onset": [10 * q + delta + 0.004], "offset": [30 * q - delta],
+            "cluster": ["a"]}
+    # split then refine: two pieces, onset snapped back to the grid-10 peak
+    out = apply_frame_postprocess(pred, tr, delta, frame_split=0.5,
+                                  frame_refine_ms=30.0)
+    assert len(out["onset"]) == 2
+    assert out["onset"][0] == pytest.approx(10 * q + delta, abs=1e-9)
+    # both knobs falsy -> untouched
+    same = apply_frame_postprocess(pred, tr, delta, frame_split=0,
+                                   frame_refine_ms=None)
+    assert same == pred
+
+
+def test_segment_frame_knobs_require_head(monkeypatch):
+    """segment(frame_split=...) on a model WITHOUT a frame head silently
+    skips the learned stage (and never calls frame_probs)."""
+    import jax
+
+    from whisperseg_tpu.models import init_params
+    from whisperseg_tpu.models.config import WhisperConfig
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                        num_heads=2, d_ff=128, max_source_positions=50,
+                        max_target_positions=32, total_spec_columns=100,
+                        compute_dtype="float32")
+    seg = Segmenter(init_params(jax.random.PRNGKey(0), cfg), cfg)
+    assert "frame_head" not in seg.params
+
+    def boom(*a, **k):
+        raise AssertionError("frame_probs must not be called without a head")
+
+    monkeypatch.setattr(type(seg), "frame_probs", boom)
+    y = make_bursts([(0.2, 0.4)], sr=16000, duration=1.0)
+    pred = seg.segment(y, sr=16000, spec_time_step=0.01, num_trials=1,
+                       num_beams=1, max_length=16, batch_size=2,
+                       frame_split=0.5, frame_refine_ms=20.0)
+    assert set(pred) == {"onset", "offset", "cluster"}
+
+
+def test_segment_uses_frame_postprocess_with_head(monkeypatch):
+    """With a frame-head model and crafted tracks, segment(frame_refine_ms=...)
+    moves decoded boundaries onto the event peaks."""
+    import jax
+
+    from whisperseg_tpu.models import init_params
+    from whisperseg_tpu.models.config import WhisperConfig
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                        num_heads=2, d_ff=128, max_source_positions=50,
+                        max_target_positions=32, total_spec_columns=100,
+                        compute_dtype="float32", frame_head=True,
+                        frame_head_clusters=2)
+    seg = Segmenter(init_params(jax.random.PRNGKey(0), cfg), cfg)
+
+    sr = 16000
+    q = 0.02
+    from whisperseg_tpu.constants import fft_time_delta
+    delta = fft_time_delta(sr)
+    tr = _tracks(T=50, q=q, onset={12: 1.0}, offset={19: 1.0})
+    monkeypatch.setattr(type(seg), "frame_probs", lambda self, *a, **k: tr)
+    # bypass the decoder: force a raw prediction at grid 10/20
+    monkeypatch.setattr(
+        type(seg), "_parse_generation",
+        lambda self, *a, **k: {"onset": [10 * q - delta],
+                               "offset": [20 * q + delta],
+                               "cluster": ["Vocal"]})
+    y = make_bursts([(0.2, 0.4)], sr=sr, duration=1.0)
+    pred = seg.segment(y, sr=sr, spec_time_step=0.01, num_trials=1,
+                       num_beams=1, max_length=16, batch_size=2,
+                       frame_refine_ms=60.0)
+    assert pred["onset"][0] == pytest.approx(12 * q + delta, abs=1e-6)
+    assert pred["offset"][0] == pytest.approx(19 * q - delta, abs=1e-6)

@@ -63,6 +63,13 @@ def build_parser():
     parser.add_argument("--refine_boundaries_ms", default=None, type=float,
                         help="opt-in energy-edge boundary refinement: search "
                              "half-width in ms (see whisperseg_tpu/refine.py)")
+    parser.add_argument("--frame_split", default=None, type=float,
+                        help="opt-in frame-head split of decoder merges: "
+                             "event-track cut threshold 0..1 (needs a model "
+                             "trained with --frame_head; refine.py)")
+    parser.add_argument("--frame_refine_ms", default=None, type=float,
+                        help="opt-in frame-head boundary snap: search "
+                             "half-width in ms (needs --frame_head model)")
     parser.add_argument("--max_length", default=448, type=int,
                         help="decode token budget (reference model.py:411 "
                              "default 448); models finetuned at "
@@ -99,6 +106,8 @@ def main(argv=None):
             refine_boundaries_ms=args.refine_boundaries_ms,
             split_merged_db=args.split_merged_db,
             merge_gap_ms=args.merge_gap_ms,
+            frame_split=args.frame_split,
+            frame_refine_ms=args.frame_refine_ms,
         )
 
     if args.audio_path is None:

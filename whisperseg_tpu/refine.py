@@ -381,3 +381,135 @@ def fit_postprocess(
     g, d, w = best
     params = {k: v for k, v in zip(POSTPROCESS_KEYS, (g, d, w)) if v}
     return params, table
+
+
+# ------------------------------------------------------- frame-head refinement
+#
+# Learned counterparts of the energy heuristics above, driven by the optional
+# encoder frame head (models/whisper.frame_head_forward): the onset/offset
+# event tracks replace energy edges, the vocal track replaces the band
+# envelope. Tracks live on the decoder's timestamp grid ("label space" — the
+# FFT-blur-widened boundaries the model was trained on), while predictions
+# from segment() are already blur-corrected, so conversions below carry the
+# ±time_delta offset explicitly.
+
+
+def frame_peak_pos(track: np.ndarray, center: int, radius: int,
+                   min_peak: float = 0.1) -> float:
+    """Best event-peak position in ``[center - radius, center + radius]``
+    with parabolic sub-quantum interpolation; falls back to ``center`` when
+    no peak exceeds ``min_peak``."""
+    T = len(track)
+    lo, hi = max(center - radius, 0), min(center + radius, T - 1)
+    if hi < lo:
+        return float(center)
+    i = lo + int(np.argmax(track[lo:hi + 1]))
+    if track[i] < min_peak:
+        return float(center)
+    if 0 < i < T - 1:
+        a, b, c = float(track[i - 1]), float(track[i]), float(track[i + 1])
+        denom = a - 2 * b + c
+        if denom < 0:
+            return i + 0.5 * (a - c) / denom
+    return float(i)
+
+
+def split_with_frame_tracks(
+    prediction: Dict[str, list],
+    tracks: Dict[str, np.ndarray],
+    time_delta: float,
+    cut_threshold: float = 0.5,
+    min_len_s: float = 0.01,
+) -> Dict[str, list]:
+    """Split decoded segments that the frame head says contain an internal
+    boundary: an interior grid position where BOTH the onset and offset event
+    tracks exceed ``cut_threshold`` (two vocalizations merged by the decoder —
+    the dominant structural failure of weak seq2seq models, DEVNOTES.md).
+    Both halves keep the original cluster."""
+    onsets = list(map(float, prediction.get("onset", [])))
+    offsets = list(map(float, prediction.get("offset", [])))
+    clusters = list(prediction.get("cluster", ["" for _ in onsets]))
+    if not onsets:
+        return prediction
+    onset_t, offset_t = tracks["onset"], tracks["offset"]
+    q = float(tracks["quantum"])
+    T = len(onset_t)
+
+    new_on, new_off, new_cl = [], [], []
+    for on, off, cl in zip(onsets, offsets, clusters):
+        a = int(np.round((on - time_delta) / q))
+        b = int(np.round((off + time_delta) / q))
+        cuts = [i for i in range(max(a + 1, 1), min(b, T))
+                if onset_t[i] >= cut_threshold and offset_t[i] >= cut_threshold]
+        pieces, prev = [], on
+        for c in cuts:
+            t_cut_off = c * q - time_delta   # blur-corrected offset of left piece
+            t_cut_on = c * q + time_delta    # blur-corrected onset of right piece
+            if t_cut_off - prev >= min_len_s and off - t_cut_on >= min_len_s:
+                pieces.append((prev, t_cut_off))
+                prev = t_cut_on
+        pieces.append((prev, off))
+        for p_on, p_off in pieces:
+            new_on.append(p_on)
+            new_off.append(p_off)
+            new_cl.append(cl)
+    out = dict(prediction)
+    out["onset"], out["offset"], out["cluster"] = new_on, new_off, new_cl
+    return out
+
+
+def refine_with_frame_tracks(
+    prediction: Dict[str, list],
+    tracks: Dict[str, np.ndarray],
+    time_delta: float,
+    search_ms: float = 20.0,
+    min_peak: float = 0.1,
+) -> Dict[str, list]:
+    """Snap each decoded onset to the best frame-head onset-event peak and
+    each offset to the best offset-event peak within ``±search_ms``
+    (sub-quantum via parabolic interpolation). The learned counterpart of
+    :func:`refine_prediction`; boundaries move at most the search width, and
+    a boundary with no nearby peak stays put."""
+    onsets = list(map(float, prediction.get("onset", [])))
+    offsets = list(map(float, prediction.get("offset", [])))
+    if not onsets:
+        return prediction
+    onset_t, offset_t = tracks["onset"], tracks["offset"]
+    q = float(tracks["quantum"])
+    radius = max(int(np.round(search_ms / 1000.0 / q)), 1)
+
+    new_on, new_off = [], []
+    for on, off in zip(onsets, offsets):
+        a = int(np.round((on - time_delta) / q))
+        b = int(np.round((off + time_delta) / q))
+        on2 = frame_peak_pos(onset_t, a, radius, min_peak) * q + time_delta
+        off2 = frame_peak_pos(offset_t, b, radius, min_peak) * q - time_delta
+        if on2 >= off2:   # refinement collapsed the segment: keep original
+            on2, off2 = on, off
+        new_on.append(on2)
+        new_off.append(off2)
+    out = dict(prediction)
+    out["onset"], out["offset"] = new_on, new_off
+    return out
+
+
+def apply_frame_postprocess(
+    prediction: Dict[str, list],
+    tracks: Dict[str, np.ndarray],
+    time_delta: float,
+    frame_split: Optional[float] = None,
+    frame_refine_ms: Optional[float] = None,
+    min_len_s: float = 0.01,
+) -> Dict[str, list]:
+    """Frame-head post-processing chain (split -> refine), mirroring
+    :func:`apply_postprocess` for the learned tracks. ``frame_split`` is the
+    event cut threshold (0 disables), ``frame_refine_ms`` the snap search
+    half-width in ms (0 disables)."""
+    if frame_split:
+        prediction = split_with_frame_tracks(prediction, tracks, time_delta,
+                                             cut_threshold=float(frame_split),
+                                             min_len_s=min_len_s)
+    if frame_refine_ms:
+        prediction = refine_with_frame_tracks(prediction, tracks, time_delta,
+                                              search_ms=float(frame_refine_ms))
+    return prediction

@@ -437,21 +437,7 @@ class Segmenter:
         quantum, cluster_ids = tracks["quantum"], tracks["cluster"]
         T = len(vocal)
 
-        def peak_pos(track, center: int, lo: int, hi: int) -> float:
-            """Best event-peak position in [lo, hi] near ``center`` (parabolic
-            sub-quantum interpolation); falls back to ``center``."""
-            lo, hi = max(lo, 0), min(hi, T - 1)
-            if hi < lo:
-                return float(center)
-            i = lo + int(np.argmax(track[lo:hi + 1]))
-            if track[i] < 0.1:
-                return float(center)
-            if 0 < i < T - 1:
-                a, b, c = float(track[i - 1]), float(track[i]), float(track[i + 1])
-                denom = a - 2 * b + c
-                if denom < 0:
-                    return i + 0.5 * (a - c) / denom
-            return float(i)
+        from .refine import frame_peak_pos
 
         # vocal runs
         active = vocal > vocal_threshold
@@ -483,8 +469,8 @@ class Segmenter:
         onsets, offsets, clusters = [], [], []
         inv = self.inverse_cluster_codebook
         for a, b in cut_runs:
-            on_pos = peak_pos(onset_t, a, a - boundary_snap, a + boundary_snap)
-            off_pos = peak_pos(offset_t, b, b - boundary_snap, b + boundary_snap)
+            on_pos = frame_peak_pos(onset_t, a, boundary_snap)
+            off_pos = frame_peak_pos(offset_t, b, boundary_snap)
             on = on_pos * quantum + time_delta
             off = off_pos * quantum - time_delta
             if on > off:
@@ -588,6 +574,8 @@ class Segmenter:
         refine_boundaries_ms: Optional[float] = None,
         split_merged_db: Optional[float] = None,
         merge_gap_ms: Optional[float] = None,
+        frame_split: Optional[float] = None,
+        frame_refine_ms: Optional[float] = None,
     ) -> Dict[str, list]:
         """Segment one audio array -> {"onset": [...], "offset": [...], "cluster": [...]}.
 
@@ -609,6 +597,11 @@ class Segmenter:
         if refine_boundaries_ms is None:
             refine_boundaries_ms = self.default_segmentation_config.get(
                 "refine_boundaries_ms", 0)
+        if frame_split is None:
+            frame_split = self.default_segmentation_config.get("frame_split", 0)
+        if frame_refine_ms is None:
+            frame_refine_ms = self.default_segmentation_config.get(
+                "frame_refine_ms", 0)
         if min_segment_length is None:
             min_segment_length = spec_time_step * RATIO
         if eps is None:
@@ -658,13 +651,31 @@ class Segmenter:
 
         # Opt-in post-processing chain (merge -> split -> refine; beyond
         # reference, see refine.py for rationale and the canonical order).
-        from .refine import apply_postprocess
+        from .refine import apply_frame_postprocess, apply_postprocess
 
-        return apply_postprocess(
+        final = apply_postprocess(
             final, audio, sr, merge_gap_ms=merge_gap_ms,
             split_merged_db=split_merged_db,
             refine_boundaries_ms=refine_boundaries_ms,
             min_len_s=min_segment_length)
+
+        # Learned (frame-head) post-processing: split decoder merges at
+        # event-track cuts, snap boundaries to event peaks (refine.py).
+        if (frame_split or frame_refine_ms) and "frame_head" in self.params:
+            tracks = self.frame_probs(audio, sr, spec_time_step=spec_time_step,
+                                      min_frequency=min_frequency,
+                                      batch_size=batch_size)
+            final = apply_frame_postprocess(
+                final, tracks, time_delta, frame_split=frame_split,
+                frame_refine_ms=frame_refine_ms, min_len_s=min_segment_length)
+
+        # Final 3-decimal rounding (reference model.py:457-468 precision_bits):
+        # post-processing stages emit sub-millisecond boundary positions.
+        final["onset"] = [float(np.round(t, self.precision_bits))
+                          for t in final["onset"]]
+        final["offset"] = [float(np.round(t, self.precision_bits))
+                           for t in final["offset"]]
+        return final
 
     # ------------------------------------------------------------------- scoring
 

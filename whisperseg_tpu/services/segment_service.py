@@ -100,6 +100,8 @@ def build_app(segmenter, batch_size: int = 8,
                                                   None),
                     split_merged_db=info.get("split_merged_db", None),
                     merge_gap_ms=info.get("merge_gap_ms", None),
+                    frame_split=info.get("frame_split", None),
+                    frame_refine_ms=info.get("frame_refine_ms", None),
                 )
             except Exception:
                 print("Segmentation Error! Returning an empty prediction ...")
