@@ -49,6 +49,14 @@ def main(argv=None):
                     default=[0.0, 10.0, 12.0, 15.0])
     ap.add_argument("--widths_ms", type=float, nargs="+",
                     default=[0.0, 20.0, 30.0, 40.0, 60.0])
+    ap.add_argument("--frame_split", type=float, nargs="+",
+                    default=[0.0, 0.3, 0.5],
+                    help="frame-head split-threshold grid (used only when the "
+                         "model has a frame head)")
+    ap.add_argument("--frame_refine_ms", type=float, nargs="+",
+                    default=[0.0, 10.0, 20.0, 40.0],
+                    help="frame-head boundary-snap search grid in ms (used "
+                         "only when the model has a frame head)")
     ap.add_argument("--write", type=int, default=0,
                     help="1: store the fitted params in the checkpoint's "
                          "default_segmentation_config (config.json)")
@@ -56,6 +64,7 @@ def main(argv=None):
 
     _respect_jax_platforms_env()
     from whisperseg_tpu.audio.io import load_audio
+    from whisperseg_tpu.constants import fft_time_delta
     from whisperseg_tpu.data import get_audio_and_label_paths, read_label
     from whisperseg_tpu.refine import fit_postprocess
     from whisperseg_tpu.segmenter import Segmenter
@@ -65,8 +74,10 @@ def main(argv=None):
         raise SystemExit(f"no labeled audio in {args.dataset_folder}")
     seg = Segmenter.from_pretrained(args.model_path,
                                     inference_dtype=args.compute_type)
+    has_head = "frame_head" in seg.params
 
     preds, labels, audios, srs = [], [], [], []
+    tracks, deltas = ([] if has_head else None), ([] if has_head else None)
     for ap_, lp in zip(audio_paths, label_paths):
         label = read_label(lp)
         audio, sr = load_audio(ap_, sr=label.get("sr", None))
@@ -79,29 +90,46 @@ def main(argv=None):
             batch_size=args.batch_size, max_length=args.max_length,
             # fit on RAW decodes: disable any already-stored combination
             merge_gap_ms=0, split_merged_db=0, refine_boundaries_ms=0,
+            frame_split=0, frame_refine_ms=0,
         )
         preds.append(pred)
         labels.append(label)
         audios.append(audio)
         srs.append(sr)
+        if has_head:
+            tracks.append(seg.frame_probs(
+                audio, sr, spec_time_step=label.get("spec_time_step", None),
+                min_frequency=label.get("min_frequency", None),
+                batch_size=args.batch_size))
+            deltas.append(fft_time_delta(sr))
         print(f"decoded {os.path.basename(ap_)}: {len(pred['onset'])} segments",
               file=sys.stderr, flush=True)
 
     params, table = fit_postprocess(
         preds, labels, audios, srs, merge_gap_ms=args.merge_gap_ms,
-        split_db=args.split_db, widths_ms=args.widths_ms)
-    raw = table["merge_0+split_0+refine_0"]
-    g = params.get("merge_gap_ms", 0)
-    d = params.get("split_merged_db", 0)
-    w = params.get("refine_boundaries_ms", 0)
-    fitted = table[f"merge_{g:g}+split_{d:g}+refine_{w:g}"]
+        split_db=args.split_db, widths_ms=args.widths_ms,
+        frame_tracks=tracks, time_deltas=deltas,
+        frame_split=args.frame_split, frame_refine_ms=args.frame_refine_ms)
+
+    def combo_name(p):
+        name = (f"merge_{p.get('merge_gap_ms', 0):g}"
+                f"+split_{p.get('split_merged_db', 0):g}"
+                f"+refine_{p.get('refine_boundaries_ms', 0):g}")
+        if has_head:
+            name += (f"+fsplit_{p.get('frame_split', 0):g}"
+                     f"+fsnap_{p.get('frame_refine_ms', 0):g}")
+        return name
+
+    raw = table[combo_name({})]
+    fitted = table[combo_name(params)]
 
     if args.write:
         cfg_path = os.path.join(args.model_path, "config.json")
         with open(cfg_path) as f:
             cfg = json.load(f)
         dsc = cfg.setdefault("default_segmentation_config", {})
-        for k in ("merge_gap_ms", "split_merged_db", "refine_boundaries_ms"):
+        for k in ("merge_gap_ms", "split_merged_db", "refine_boundaries_ms",
+                  "frame_split", "frame_refine_ms"):
             dsc.pop(k, None)
         dsc.update(params)
         with open(cfg_path, "w") as f:

@@ -479,3 +479,62 @@ def test_segment_uses_frame_postprocess_with_head(monkeypatch):
                        frame_refine_ms=60.0)
     assert pred["onset"][0] == pytest.approx(12 * q + delta, abs=1e-6)
     assert pred["offset"][0] == pytest.approx(19 * q - delta, abs=1e-6)
+
+
+def test_fit_postprocess_selects_frame_knobs():
+    """With frame tracks that precisely explain the label and a merged raw
+    prediction, the grid-fit picks the frame-head split over the energy
+    stages (energy grids pinned to 0 to isolate the learned chain)."""
+    from whisperseg_tpu.refine import fit_postprocess
+
+    sr = 32000
+    q = 0.005                       # spec_time_step 0.0025 -> quantum 5 ms
+    delta = 512 / 2 / sr            # 8 ms
+    # ground truth: two syllables; raw prediction merged them into one
+    label = {"onset": [0.100, 0.300], "offset": [0.260, 0.460],
+             "cluster": ["v", "v"], "tolerance": 0.02,
+             "spec_time_step": 0.0025}
+    pred = {"onset": [0.100], "offset": [0.460], "cluster": ["v"]}
+    y = make_bursts([(0.1, 0.26), (0.3, 0.46)], sr=sr, duration=1.0,
+                    noise=0.0)     # silence between bursts
+    T = int(np.ceil(1.0 / q))
+    onset_t = np.zeros(T, np.float32)
+    offset_t = np.zeros(T, np.float32)
+    # the head fires an offset at 0.26+delta and an onset at 0.30-delta in
+    # label space; the midpoint grid cell sees both above threshold
+    cut = int(np.round(((0.26 + 0.30) / 2) / q))
+    onset_t[cut] = offset_t[cut] = 0.9
+    tracks = {"vocal": np.zeros(T, np.float32), "onset": onset_t,
+              "offset": offset_t, "cluster": np.zeros(T, np.int32),
+              "quantum": q}
+    # time_delta such that cut*q +/- delta lands within tolerance of the label
+    td = (0.300 - 0.260) / 2 - (0.280 - cut * q)
+    params, table = fit_postprocess(
+        [pred], [label], [y], [sr],
+        merge_gap_ms=(0.0,), split_db=(0.0,), widths_ms=(0.0,),
+        frame_tracks=[tracks], time_deltas=[td],
+        frame_split=(0.0, 0.5), frame_refine_ms=(0.0,))
+    assert params == {"frame_split": 0.5}, (params, table)
+    assert table["merge_0+split_0+refine_0+fsplit_0.5+fsnap_0"][
+        "segment_F1"] == 1.0
+    # baseline (all off) exists in the table and scores worse
+    assert table["merge_0+split_0+refine_0+fsplit_0+fsnap_0"][
+        "segment_F1"] < 1.0
+
+
+def test_fit_postprocess_without_tracks_table_names_unchanged():
+    """No frame tracks -> the table keeps the original 3-knob combo names
+    (backward compatible with stored RESULTS)."""
+    from whisperseg_tpu.refine import fit_postprocess
+
+    sr = 32000
+    label = {"onset": [0.5], "offset": [0.8], "cluster": ["v"],
+             "tolerance": 0.01, "spec_time_step": 0.0025}
+    pred = {"onset": [0.5], "offset": [0.8], "cluster": ["v"]}
+    y = make_bursts([(0.5, 0.8)], sr=sr, duration=1.0)
+    params, table = fit_postprocess([pred], [label], [y], [sr],
+                                    merge_gap_ms=(0.0,), split_db=(0.0,),
+                                    widths_ms=(0.0, 20.0))
+    assert "merge_0+split_0+refine_0" in table
+    assert all("fsplit" not in k for k in table)
+    assert params == {}

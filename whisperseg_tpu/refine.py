@@ -308,6 +308,7 @@ def apply_postprocess(
 
 
 POSTPROCESS_KEYS = ("merge_gap_ms", "split_merged_db", "refine_boundaries_ms")
+FRAME_POSTPROCESS_KEYS = ("frame_split", "frame_refine_ms")
 
 
 def fit_postprocess(
@@ -319,6 +320,10 @@ def fit_postprocess(
     split_db=(0.0, 10.0, 12.0, 15.0),
     widths_ms=(0.0, 20.0, 30.0, 40.0, 60.0),
     min_len_s: float = 0.01,
+    frame_tracks=None,
+    time_deltas=None,
+    frame_split=(0.0,),
+    frame_refine_ms=(0.0,),
 ):
     """Grid-fit the post-processing knobs on a labeled set (intended: the
     TRAINING files) by maximizing micro segment F1, tie-broken by frame F1
@@ -330,10 +335,16 @@ def fit_postprocess(
     label's ``tolerance`` / ``time_per_frame_for_scoring`` keys with the
     reference's defaults (reference model.py:494-495, 519-520).
 
+    When ``frame_tracks`` (per-audio ``Segmenter.frame_probs`` dicts) and
+    ``time_deltas`` (per-audio FFT-blur half-widths) are given, the grid also
+    spans the learned frame-head knobs ``frame_split`` / ``frame_refine_ms``,
+    chained AFTER the energy stages exactly as ``segment()`` applies them.
+
     Returns ``(best_params, table)`` where ``best_params`` maps
-    ``POSTPROCESS_KEYS`` to the winning (nonzero) values — an empty dict means
-    post-processing off — and ``table`` maps ``"merge_g+split_d+refine_w"``
-    combo names to their ``{"segment_F1", "frame_F1"}`` train scores.
+    ``POSTPROCESS_KEYS`` (+ ``FRAME_POSTPROCESS_KEYS`` when fitted) to the
+    winning (nonzero) values — an empty dict means post-processing off — and
+    ``table`` maps ``"merge_g+split_d+refine_w[+fsplit_s+fsnap_m]"`` combo
+    names to their ``{"segment_F1", "frame_F1"}`` train scores.
     """
     from itertools import product
 
@@ -361,25 +372,43 @@ def fit_postprocess(
 
         return f1(seg_tp, seg_p, seg_l), f1(fr_tp, fr_p, fr_l)
 
+    fit_frames = frame_tracks is not None
+    if not fit_frames:
+        frame_split, frame_refine_ms = (0.0,), (0.0,)
+
     best, best_key, table = None, None, {}
     for g, d, w in product(merge_gap_ms, split_db, widths_ms):
-        processed = [
+        energy = [
             apply_postprocess(pred, audio, sr, merge_gap_ms=g,
                               split_merged_db=d, refine_boundaries_ms=w,
                               min_len_s=min_len_s, env=env)
             for pred, audio, sr, env in zip(predictions, audios, srs, envs)
         ]
-        seg_f1, fr_f1 = micro(processed)
-        name = f"merge_{g:g}+split_{d:g}+refine_{w:g}"
-        table[name] = {"segment_F1": round(seg_f1, 4),
-                       "frame_F1": round(fr_f1, 4)}
-        simplicity = (-sum(1 for v in (g, d, w) if v), -g, -d, -w)
-        key = (round(seg_f1, 4), round(fr_f1, 4), simplicity)
-        if best_key is None or key > best_key:
-            best_key, best = key, (g, d, w)
+        for fs, fm in product(frame_split, frame_refine_ms):
+            if fit_frames and (fs or fm):
+                processed = [
+                    apply_frame_postprocess(pred, tr, td, frame_split=fs,
+                                            frame_refine_ms=fm,
+                                            min_len_s=min_len_s)
+                    for pred, tr, td in zip(energy, frame_tracks, time_deltas)
+                ]
+            else:
+                processed = energy
+            seg_f1, fr_f1 = micro(processed)
+            name = f"merge_{g:g}+split_{d:g}+refine_{w:g}"
+            if fit_frames:
+                name += f"+fsplit_{fs:g}+fsnap_{fm:g}"
+            table[name] = {"segment_F1": round(seg_f1, 4),
+                           "frame_F1": round(fr_f1, 4)}
+            combo = (g, d, w, fs, fm)
+            simplicity = (-sum(1 for v in combo if v),) + tuple(
+                -v for v in combo)
+            key = (round(seg_f1, 4), round(fr_f1, 4), simplicity)
+            if best_key is None or key > best_key:
+                best_key, best = key, combo
 
-    g, d, w = best
-    params = {k: v for k, v in zip(POSTPROCESS_KEYS, (g, d, w)) if v}
+    params = {k: v for k, v in
+              zip(POSTPROCESS_KEYS + FRAME_POSTPROCESS_KEYS, best) if v}
     return params, table
 
 
