@@ -37,6 +37,9 @@ def main(argv=None):
     parser.add_argument("--frame_refine_ms", type=float, default=None,
                         help="opt-in frame-head boundary snap (search ms; "
                              "needs --frame_head model)")
+    parser.add_argument("--frame_filter", type=float, default=None,
+                        help="opt-in frame-head hallucination filter (min "
+                             "mean vocal prob 0..1; needs --frame_head model)")
     parser.add_argument("--frame_mode", type=int, default=0,
                         help="1: score the decoder-free frame-VAD path "
                              "(Segmenter.segment_from_frames; requires a "
@@ -55,6 +58,7 @@ def main(argv=None):
         frame_mode=bool(args.frame_mode),
         frame_split=args.frame_split,
         frame_refine_ms=args.frame_refine_ms,
+        frame_filter=args.frame_filter,
     )
     print(json.dumps(res, indent=2))
 

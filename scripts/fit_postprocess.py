@@ -57,6 +57,10 @@ def main(argv=None):
                     default=[0.0, 10.0, 20.0, 40.0],
                     help="frame-head boundary-snap search grid in ms (used "
                          "only when the model has a frame head)")
+    ap.add_argument("--frame_filter", type=float, nargs="+",
+                    default=[0.0, 0.3, 0.5],
+                    help="frame-head hallucination-filter grid (min mean "
+                         "vocal prob; used only when the model has a head)")
     ap.add_argument("--write", type=int, default=0,
                     help="1: store the fitted params in the checkpoint's "
                          "default_segmentation_config (config.json)")
@@ -90,7 +94,7 @@ def main(argv=None):
             batch_size=args.batch_size, max_length=args.max_length,
             # fit on RAW decodes: disable any already-stored combination
             merge_gap_ms=0, split_merged_db=0, refine_boundaries_ms=0,
-            frame_split=0, frame_refine_ms=0,
+            frame_split=0, frame_refine_ms=0, frame_filter=0,
         )
         preds.append(pred)
         labels.append(label)
@@ -109,7 +113,8 @@ def main(argv=None):
         preds, labels, audios, srs, merge_gap_ms=args.merge_gap_ms,
         split_db=args.split_db, widths_ms=args.widths_ms,
         frame_tracks=tracks, time_deltas=deltas,
-        frame_split=args.frame_split, frame_refine_ms=args.frame_refine_ms)
+        frame_split=args.frame_split, frame_refine_ms=args.frame_refine_ms,
+        frame_filter=args.frame_filter)
 
     def combo_name(p):
         name = (f"merge_{p.get('merge_gap_ms', 0):g}"
@@ -117,7 +122,8 @@ def main(argv=None):
                 f"+refine_{p.get('refine_boundaries_ms', 0):g}")
         if has_head:
             name += (f"+fsplit_{p.get('frame_split', 0):g}"
-                     f"+fsnap_{p.get('frame_refine_ms', 0):g}")
+                     f"+fsnap_{p.get('frame_refine_ms', 0):g}"
+                     f"+ffilt_{p.get('frame_filter', 0):g}")
         return name
 
     raw = table[combo_name({})]
@@ -129,7 +135,7 @@ def main(argv=None):
             cfg = json.load(f)
         dsc = cfg.setdefault("default_segmentation_config", {})
         for k in ("merge_gap_ms", "split_merged_db", "refine_boundaries_ms",
-                  "frame_split", "frame_refine_ms"):
+                  "frame_split", "frame_refine_ms", "frame_filter"):
             dsc.pop(k, None)
         dsc.update(params)
         with open(cfg_path, "w") as f:

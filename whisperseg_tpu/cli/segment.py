@@ -70,6 +70,10 @@ def build_parser():
     parser.add_argument("--frame_refine_ms", default=None, type=float,
                         help="opt-in frame-head boundary snap: search "
                              "half-width in ms (needs --frame_head model)")
+    parser.add_argument("--frame_filter", default=None, type=float,
+                        help="opt-in frame-head hallucination filter: drop "
+                             "segments whose mean vocal probability is below "
+                             "this (0..1; needs --frame_head model)")
     parser.add_argument("--max_length", default=448, type=int,
                         help="decode token budget (reference model.py:411 "
                              "default 448); models finetuned at "
@@ -108,6 +112,7 @@ def main(argv=None):
             merge_gap_ms=args.merge_gap_ms,
             frame_split=args.frame_split,
             frame_refine_ms=args.frame_refine_ms,
+            frame_filter=args.frame_filter,
         )
 
     if args.audio_path is None:

@@ -14,7 +14,7 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
              num_trials, num_beams: int = 4, target_cluster: Optional[str] = None,
              verbose: bool = True, refine_boundaries_ms=None,
              split_merged_db=None, merge_gap_ms=None, frame_mode: bool = False,
-             frame_split=None, frame_refine_ms=None):
+             frame_split=None, frame_refine_ms=None, frame_filter=None):
     """Micro-averaged segment-wise and frame-wise P/R/F1 over a corpus
     (reference evaluate.py:9-51). Per-label ``tolerance`` /
     ``time_per_frame_for_scoring`` fields are intentionally ignored, as in the
@@ -50,6 +50,7 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
                 merge_gap_ms=merge_gap_ms,
                 frame_split=frame_split,
                 frame_refine_ms=frame_refine_ms,
+                frame_filter=frame_filter,
             )
         tp, p_pred, p_label = segmenter.segment_score(
             prediction, label, target_cluster=target_cluster)[:3]
@@ -79,7 +80,7 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      batch_size: int = 8, inference_dtype: str = "bfloat16",
                      refine_boundaries_ms=None, split_merged_db=None,
                      merge_gap_ms=None, frame_mode: bool = False,
-                     frame_split=None, frame_refine_ms=None,
+                     frame_split=None, frame_refine_ms=None, frame_filter=None,
                      **kwargs):
     """(reference evaluate.py:53-84)"""
     from .segmenter import Segmenter
@@ -100,7 +101,7 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                    refine_boundaries_ms=refine_boundaries_ms,
                    split_merged_db=split_merged_db, merge_gap_ms=merge_gap_ms,
                    frame_mode=frame_mode, frame_split=frame_split,
-                   frame_refine_ms=frame_refine_ms)
+                   frame_refine_ms=frame_refine_ms, frame_filter=frame_filter)
 
     def expand(row):
         return {

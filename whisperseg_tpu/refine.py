@@ -308,7 +308,7 @@ def apply_postprocess(
 
 
 POSTPROCESS_KEYS = ("merge_gap_ms", "split_merged_db", "refine_boundaries_ms")
-FRAME_POSTPROCESS_KEYS = ("frame_split", "frame_refine_ms")
+FRAME_POSTPROCESS_KEYS = ("frame_split", "frame_refine_ms", "frame_filter")
 
 
 def fit_postprocess(
@@ -324,6 +324,7 @@ def fit_postprocess(
     time_deltas=None,
     frame_split=(0.0,),
     frame_refine_ms=(0.0,),
+    frame_filter=(0.0,),
 ):
     """Grid-fit the post-processing knobs on a labeled set (intended: the
     TRAINING files) by maximizing micro segment F1, tie-broken by frame F1
@@ -374,7 +375,7 @@ def fit_postprocess(
 
     fit_frames = frame_tracks is not None
     if not fit_frames:
-        frame_split, frame_refine_ms = (0.0,), (0.0,)
+        frame_split, frame_refine_ms, frame_filter = (0.0,), (0.0,), (0.0,)
 
     best, best_key, table = None, None, {}
     for g, d, w in product(merge_gap_ms, split_db, widths_ms):
@@ -384,11 +385,12 @@ def fit_postprocess(
                               min_len_s=min_len_s, env=env)
             for pred, audio, sr, env in zip(predictions, audios, srs, envs)
         ]
-        for fs, fm in product(frame_split, frame_refine_ms):
-            if fit_frames and (fs or fm):
+        for fs, fm, ff in product(frame_split, frame_refine_ms, frame_filter):
+            if fit_frames and (fs or fm or ff):
                 processed = [
                     apply_frame_postprocess(pred, tr, td, frame_split=fs,
                                             frame_refine_ms=fm,
+                                            frame_filter=ff,
                                             min_len_s=min_len_s)
                     for pred, tr, td in zip(energy, frame_tracks, time_deltas)
                 ]
@@ -397,10 +399,10 @@ def fit_postprocess(
             seg_f1, fr_f1 = micro(processed)
             name = f"merge_{g:g}+split_{d:g}+refine_{w:g}"
             if fit_frames:
-                name += f"+fsplit_{fs:g}+fsnap_{fm:g}"
+                name += f"+fsplit_{fs:g}+fsnap_{fm:g}+ffilt_{ff:g}"
             table[name] = {"segment_F1": round(seg_f1, 4),
                            "frame_F1": round(fr_f1, 4)}
-            combo = (g, d, w, fs, fm)
+            combo = (g, d, w, fs, fm, ff)
             simplicity = (-sum(1 for v in combo if v),) + tuple(
                 -v for v in combo)
             key = (round(seg_f1, 4), round(fr_f1, 4), simplicity)
@@ -522,18 +524,56 @@ def refine_with_frame_tracks(
     return out
 
 
+def filter_with_frame_tracks(
+    prediction: Dict[str, list],
+    tracks: Dict[str, np.ndarray],
+    time_delta: float,
+    min_vocal: float = 0.5,
+) -> Dict[str, list]:
+    """Drop decoded segments whose mean frame-head vocal probability over
+    their (label-space) span falls below ``min_vocal`` — a precision filter
+    against decoder hallucinations the head sees as silence."""
+    onsets = list(map(float, prediction.get("onset", [])))
+    offsets = list(map(float, prediction.get("offset", [])))
+    clusters = list(prediction.get("cluster", ["" for _ in onsets]))
+    if not onsets:
+        return prediction
+    vocal = tracks["vocal"]
+    q = float(tracks["quantum"])
+    T = len(vocal)
+
+    keep = []
+    for i, (on, off) in enumerate(zip(onsets, offsets)):
+        a = int(np.clip(np.round((on - time_delta) / q), 0, T - 1))
+        b = int(np.clip(np.round((off + time_delta) / q), 0, T))
+        b = max(b, a + 1)   # zero-length span: judge the single cell
+        if float(vocal[a:b].mean()) >= min_vocal:
+            keep.append(i)
+    out = dict(prediction)
+    out["onset"] = [onsets[i] for i in keep]
+    out["offset"] = [offsets[i] for i in keep]
+    out["cluster"] = [clusters[i] for i in keep]
+    return out
+
+
 def apply_frame_postprocess(
     prediction: Dict[str, list],
     tracks: Dict[str, np.ndarray],
     time_delta: float,
     frame_split: Optional[float] = None,
     frame_refine_ms: Optional[float] = None,
+    frame_filter: Optional[float] = None,
     min_len_s: float = 0.01,
 ) -> Dict[str, list]:
-    """Frame-head post-processing chain (split -> refine), mirroring
-    :func:`apply_postprocess` for the learned tracks. ``frame_split`` is the
-    event cut threshold (0 disables), ``frame_refine_ms`` the snap search
-    half-width in ms (0 disables)."""
+    """Frame-head post-processing chain (filter -> split -> refine), mirroring
+    :func:`apply_postprocess` for the learned tracks. ``frame_filter`` is the
+    minimum mean vocal probability a decoded segment must reach to survive,
+    ``frame_split`` the event cut threshold, ``frame_refine_ms`` the snap
+    search half-width in ms (0/None disables each). The filter runs first so
+    hallucinated segments never reach the boundary stages."""
+    if frame_filter:
+        prediction = filter_with_frame_tracks(prediction, tracks, time_delta,
+                                              min_vocal=float(frame_filter))
     if frame_split:
         prediction = split_with_frame_tracks(prediction, tracks, time_delta,
                                              cut_threshold=float(frame_split),

@@ -576,6 +576,7 @@ class Segmenter:
         merge_gap_ms: Optional[float] = None,
         frame_split: Optional[float] = None,
         frame_refine_ms: Optional[float] = None,
+        frame_filter: Optional[float] = None,
     ) -> Dict[str, list]:
         """Segment one audio array -> {"onset": [...], "offset": [...], "cluster": [...]}.
 
@@ -602,6 +603,9 @@ class Segmenter:
         if frame_refine_ms is None:
             frame_refine_ms = self.default_segmentation_config.get(
                 "frame_refine_ms", 0)
+        if frame_filter is None:
+            frame_filter = self.default_segmentation_config.get(
+                "frame_filter", 0)
         if min_segment_length is None:
             min_segment_length = spec_time_step * RATIO
         if eps is None:
@@ -661,13 +665,15 @@ class Segmenter:
 
         # Learned (frame-head) post-processing: split decoder merges at
         # event-track cuts, snap boundaries to event peaks (refine.py).
-        if (frame_split or frame_refine_ms) and "frame_head" in self.params:
+        if ((frame_split or frame_refine_ms or frame_filter)
+                and "frame_head" in self.params):
             tracks = self.frame_probs(audio, sr, spec_time_step=spec_time_step,
                                       min_frequency=min_frequency,
                                       batch_size=batch_size)
             final = apply_frame_postprocess(
                 final, tracks, time_delta, frame_split=frame_split,
-                frame_refine_ms=frame_refine_ms, min_len_s=min_segment_length)
+                frame_refine_ms=frame_refine_ms, frame_filter=frame_filter,
+                min_len_s=min_segment_length)
 
         # Final 3-decimal rounding (reference model.py:457-468 precision_bits):
         # post-processing stages emit sub-millisecond boundary positions.

@@ -102,6 +102,7 @@ def build_app(segmenter, batch_size: int = 8,
                     merge_gap_ms=info.get("merge_gap_ms", None),
                     frame_split=info.get("frame_split", None),
                     frame_refine_ms=info.get("frame_refine_ms", None),
+                    frame_filter=info.get("frame_filter", None),
                 )
             except Exception:
                 print("Segmentation Error! Returning an empty prediction ...")
