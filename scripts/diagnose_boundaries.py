@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from whisperseg_tpu.runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset_folder", required=True)
     ap.add_argument("--model_path", required=True)

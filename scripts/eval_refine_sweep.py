@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from whisperseg_tpu.runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset_folder", required=True)
     ap.add_argument("--model_path", required=True)
@@ -31,18 +34,50 @@ def main(argv=None):
     ap.add_argument("--merge_gap_ms", type=float, nargs="+", default=[],
                     help="also score small-gap merging at these thresholds, "
                          "alone and combined with each split dB")
+    ap.add_argument("--frame_split", type=float, nargs="+", default=[],
+                    help="also score frame-head split thresholds (alone and "
+                         "with each frame snap; needs a --frame_head model)")
+    ap.add_argument("--frame_refine_ms", type=float, nargs="+", default=[],
+                    help="also score frame-head boundary snapping")
+    ap.add_argument("--frame_filter", type=float, nargs="+", default=[],
+                    help="also score the frame-head hallucination filter "
+                         "(alone and with each frame split/snap)")
     ap.add_argument("--compute_type", default="bfloat16")
     args = ap.parse_args(argv)
 
     from whisperseg_tpu.audio.io import load_audio
+    from whisperseg_tpu.constants import fft_time_delta
     from whisperseg_tpu.data import get_audio_and_label_paths, read_label
-    from whisperseg_tpu.refine import (merge_small_gaps, refine_prediction,
+    from whisperseg_tpu.refine import (apply_frame_postprocess,
+                                       merge_small_gaps, refine_prediction,
                                        split_merged_segments)
     from whisperseg_tpu.segmenter import Segmenter
 
     audio_paths, label_paths = get_audio_and_label_paths(args.dataset_folder)
     seg = Segmenter.from_pretrained(args.model_path,
                                     inference_dtype=args.compute_type)
+    want_frames = args.frame_split or args.frame_refine_ms or args.frame_filter
+    if want_frames and "frame_head" not in seg.params:
+        raise SystemExit("frame knobs requested but the model has no frame head")
+
+    # frame-knob combos: every (filter, split, snap) point with 0 = off,
+    # skipping the all-off point (that's "raw")
+    frame_combos = []
+    for ff in [0.0] + list(args.frame_filter):
+        for fs in [0.0] + list(args.frame_split):
+            for fm in [0.0] + list(args.frame_refine_ms):
+                if ff or fs or fm:
+                    frame_combos.append((ff, fs, fm))
+
+    def frame_name(ff, fs, fm):
+        parts = []
+        if ff:
+            parts.append(f"ffilt_{ff:g}")
+        if fs:
+            parts.append(f"fsplit_{fs:g}")
+        if fm:
+            parts.append(f"fsnap_{fm:g}ms")
+        return "+".join(parts)
 
     cases = {"raw": []}
     for w in args.widths_ms:
@@ -55,6 +90,8 @@ def main(argv=None):
         cases[f"merge_{g:g}ms"] = []
         for d in args.split_db:
             cases[f"merge_{g:g}ms+split_{d:g}db"] = []
+    for ff, fs, fm in frame_combos:
+        cases[frame_name(ff, fs, fm)] = []
     labels = []
     for ap_, lp in zip(audio_paths, label_paths):
         label = read_label(lp)
@@ -71,8 +108,19 @@ def main(argv=None):
                            # sweep from RAW decodes: explicitly disable any
                            # fitted combo stored in the checkpoint
                            merge_gap_ms=0, split_merged_db=0,
-                           refine_boundaries_ms=0)
+                           refine_boundaries_ms=0, frame_split=0,
+                           frame_refine_ms=0, frame_filter=0)
         cases["raw"].append(pred)
+        if frame_combos:
+            tracks = seg.frame_probs(
+                audio, sr, spec_time_step=label.get("spec_time_step", None),
+                min_frequency=label.get("min_frequency", None),
+                batch_size=args.batch_size)
+            td = fft_time_delta(sr)
+            for ff, fs, fm in frame_combos:
+                cases[frame_name(ff, fs, fm)].append(apply_frame_postprocess(
+                    pred, tracks, td, frame_split=fs, frame_refine_ms=fm,
+                    frame_filter=ff))
         for w in args.widths_ms:
             cases[f"refine_{w:g}ms"].append(
                 refine_prediction(pred, audio, sr, search_ms=w))

@@ -14,6 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from whisperseg_tpu.runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dataset_folder", required=True)
     parser.add_argument("--model_path", required=True)

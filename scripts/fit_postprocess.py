@@ -22,17 +22,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _respect_jax_platforms_env():
-    """Honor JAX_PLATFORMS even when a PJRT plugin (axon) force-prepends itself
-    to jax_platforms at import time (see DEVNOTES.md)."""
-    want = os.environ.get("JAX_PLATFORMS")
-    if want:
-        import jax
-
-        if jax.config.jax_platforms != want:
-            jax.config.update("jax_platforms", want)
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model_path", required=True)
@@ -66,7 +55,8 @@ def main(argv=None):
                          "default_segmentation_config (config.json)")
     args = ap.parse_args(argv)
 
-    _respect_jax_platforms_env()
+    from whisperseg_tpu.runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
     from whisperseg_tpu.audio.io import load_audio
     from whisperseg_tpu.constants import fft_time_delta
     from whisperseg_tpu.data import get_audio_and_label_paths, read_label

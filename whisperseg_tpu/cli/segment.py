@@ -16,20 +16,9 @@ import sys
 from glob import glob
 
 
-def _respect_jax_platforms_env():
-    """Honor JAX_PLATFORMS even when a PJRT plugin (axon) force-prepends itself
-    to jax_platforms at import time (see DEVNOTES.md)."""
-    want = os.environ.get("JAX_PLATFORMS")
-    if want and "axon" not in want:
-        import jax
+from ..runtime import respect_jax_platforms_env
 
-        try:
-            jax.config.update("jax_platforms", want)
-        except Exception:
-            pass
-
-
-_respect_jax_platforms_env()
+respect_jax_platforms_env()
 
 
 def build_parser():

@@ -107,6 +107,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from ..runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     a = build_parser().parse_args(argv)
     args = TrainArgs(
         initial_model_path=a.initial_model_path,

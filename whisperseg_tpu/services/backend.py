@@ -350,6 +350,9 @@ def build_app(state: BackendState) -> JsonHTTPServer:
 
 
 def main(argv=None):
+    from ..runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", "--flask_port", dest="port", default=8060,
                         type=int)

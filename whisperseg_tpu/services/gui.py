@@ -235,6 +235,9 @@ def build_app(backend_address: str = "", segmenter=None,
 
 
 def main(argv=None):
+    from ..runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", default=8081, type=int)
     parser.add_argument("--backend_address", default="",

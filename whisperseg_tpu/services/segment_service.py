@@ -120,6 +120,9 @@ def build_app(segmenter, batch_size: int = 8,
 
 
 def main(argv=None):
+    from ..runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     from ..segmenter import Segmenter
 
     parser = argparse.ArgumentParser()
