@@ -374,3 +374,30 @@ def test_segment_service_forwards_decode_knobs(segment_server):
     assert call["refine_boundaries_ms"] is None
     assert call["split_merged_db"] is None
     assert call["merge_gap_ms"] is None
+
+
+def test_segment_service_frame_mode(segment_server):
+    """``frame_mode: true`` dispatches to segment_from_frames (decoder-free
+    frame-VAD path) instead of segment()."""
+    addr, stub = segment_server
+    frame_pred = {"onset": [0.2], "offset": [0.4], "cluster": ["Vocal"]}
+    stub.segment_from_frames = lambda audio, sr, **kw: dict(frame_pred)
+    r = requests.post(f"http://{addr}/segment", json={
+        "audio_file_base64_string": base64.b64encode(wav_bytes()).decode(),
+        "sr": 16000, "frame_mode": True,
+    })
+    assert r.status_code == 201
+    assert r.json() == frame_pred
+    assert stub.calls == []  # segment() never invoked
+
+
+def test_segment_service_frame_mode_error_returns_empty(segment_server):
+    """A frame_mode request against a model without a head degrades to the
+    empty prediction like every other service failure."""
+    addr, stub = segment_server  # stub has no segment_from_frames attribute
+    r = requests.post(f"http://{addr}/segment", json={
+        "audio_file_base64_string": base64.b64encode(wav_bytes()).decode(),
+        "sr": 16000, "frame_mode": True,
+    })
+    assert r.status_code == 201
+    assert r.json() == {"onset": [], "offset": [], "cluster": []}

@@ -63,6 +63,10 @@ def build_parser():
                         help="opt-in frame-head hallucination filter: drop "
                              "segments whose mean vocal probability is below "
                              "this (0..1; needs --frame_head model)")
+    parser.add_argument("--frame_mode", default=0, type=int,
+                        help="1: decoder-free frame-VAD segmentation "
+                             "(Segmenter.segment_from_frames; needs a "
+                             "--frame_head model — see RESULTS.md)")
     parser.add_argument("--max_length", default=448, type=int,
                         help="decode token budget (reference model.py:411 "
                              "default 448); models finetuned at "
@@ -91,6 +95,12 @@ def main(argv=None):
         segmenter.set_draft_model(args.draft_model_path, spec_k=args.spec_k)
 
     def run(audio, sr):
+        if args.frame_mode:
+            return segmenter.segment_from_frames(
+                audio, sr, min_frequency=args.min_frequency,
+                spec_time_step=args.spec_time_step,
+                batch_size=args.batch_size,
+            )
         return segmenter.segment(
             audio, sr, min_frequency=args.min_frequency,
             spec_time_step=args.spec_time_step, num_trials=args.num_trials,

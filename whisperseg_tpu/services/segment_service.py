@@ -83,6 +83,17 @@ def build_app(segmenter, batch_size: int = 8,
                 )
                 if audio.ndim == 2:
                     audio = audio[info.get("channel_id", 0)]
+                if info.get("frame_mode", False):
+                    # decoder-free frame-VAD path (needs a frame-head model)
+                    prediction = segmenter.segment_from_frames(
+                        audio, sr=sr,
+                        min_frequency=info.get("min_frequency", None),
+                        spec_time_step=info.get("spec_time_step", None),
+                        batch_size=batch_size,
+                    )
+                    if adobe:
+                        prediction = adobe_audition_format(prediction)
+                    return prediction, 201
                 prediction = segmenter.segment(
                     audio, sr=sr,
                     min_frequency=info.get("min_frequency", None),
