@@ -314,6 +314,7 @@ def build_app(state: BackendState) -> JsonHTTPServer:
                 spec_time_step = req.form_get("spec_time_step", type=float)
                 channel_id = req.form_get("channel_id", type=int, default=0)
                 num_trials = req.form_get("num_trials", type=int, default=1)
+                frame_mode = req.form_get("frame_mode", type=int, default=0)
 
                 if "audio_file" not in req.files:
                     raise ValueError("No audio_file is provided")
@@ -335,11 +336,17 @@ def build_app(state: BackendState) -> JsonHTTPServer:
                 )
                 if audio.ndim == 2:
                     audio = audio[channel_id]
-                prediction = segmenter.segment(
-                    audio, sr, min_frequency=min_frequency,
-                    spec_time_step=spec_time_step, num_trials=num_trials,
-                    batch_size=8,
-                )
+                if frame_mode:
+                    prediction = segmenter.segment_from_frames(
+                        audio, sr, min_frequency=min_frequency,
+                        spec_time_step=spec_time_step, batch_size=8,
+                    )
+                else:
+                    prediction = segmenter.segment(
+                        audio, sr, min_frequency=min_frequency,
+                        spec_time_step=spec_time_step, num_trials=num_trials,
+                        batch_size=8,
+                    )
                 if model_name in PROCESS_TOOLBOX:
                     prediction = PROCESS_TOOLBOX[model_name](prediction)
             except Exception:

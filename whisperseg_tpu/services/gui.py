@@ -58,6 +58,8 @@ PAGE = """<!DOCTYPE html>
  <input type="number" id="min-frequency">
  <label>spec_time_step (blank = model default)</label>
  <input type="number" id="spec-time-step" step="0.0001">
+ <label><input type="checkbox" id="frame-mode"> frame-VAD mode (decoder-free;
+ needs a model trained with frame_head)</label>
  <p><button id="run-segment">Segment</button>
     <a id="csv-link" style="display:none" download="segments.csv">Download CSV</a></p>
  <div class="status" id="segment-status"></div>
@@ -142,6 +144,7 @@ document.getElementById("run-segment").onclick = async () => {
     if (mf) fd.append("min_frequency", mf);
     const st = document.getElementById("spec-time-step").value;
     if (st) fd.append("spec_time_step", st);
+    if (document.getElementById("frame-mode").checked) fd.append("frame_mode", "1");
     const r = await fetch(api("/segment"), {method: "POST", body: fd});
     const p = await r.json();
     for (let i = 0; i < (p.onset || []).length; i++)
@@ -219,14 +222,21 @@ def build_app(backend_address: str = "", segmenter=None,
                     min_frequency = req.form_get("min_frequency", type=int)
                     spec_time_step = req.form_get("spec_time_step", type=float)
                     channel_id = req.form_get("channel_id", type=int, default=0)
+                    frame_mode = req.form_get("frame_mode", type=int, default=0)
                     audio, sr = load_audio(io.BytesIO(req.files["audio_file"]),
                                            mono=False, channel_id=channel_id)
                     if audio.ndim == 2:
                         audio = audio[channel_id]
-                    prediction = segmenter.segment(
-                        audio, sr, min_frequency=min_frequency,
-                        spec_time_step=spec_time_step, num_trials=num_trials,
-                        batch_size=batch_size)
+                    if frame_mode:
+                        prediction = segmenter.segment_from_frames(
+                            audio, sr, min_frequency=min_frequency,
+                            spec_time_step=spec_time_step,
+                            batch_size=batch_size)
+                    else:
+                        prediction = segmenter.segment(
+                            audio, sr, min_frequency=min_frequency,
+                            spec_time_step=spec_time_step, num_trials=num_trials,
+                            batch_size=batch_size)
                 except Exception:
                     return {"onset": [], "offset": [], "cluster": []}, 400
                 return prediction, 200
