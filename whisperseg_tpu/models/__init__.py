@@ -4,7 +4,11 @@ from .whisper import (
     decoder_forward_train,
     decoder_step,
     encoder_forward,
+    ensure_frame_head,
+    frame_head_forward,
+    frame_head_loss,
     init_cache,
+    init_frame_head,
     init_params,
     num_parameters,
     precompute_cross_kv,
@@ -17,7 +21,11 @@ __all__ = [
     "decoder_forward_train",
     "decoder_step",
     "encoder_forward",
+    "ensure_frame_head",
+    "frame_head_forward",
+    "frame_head_loss",
     "init_cache",
+    "init_frame_head",
     "init_params",
     "num_parameters",
     "precompute_cross_kv",
