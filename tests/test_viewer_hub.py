@@ -60,3 +60,25 @@ def test_download_model_miss_raises(tmp_path, monkeypatch):
     monkeypatch.setenv("WHISPERSEG_MODEL_CACHE", str(tmp_path / "cache"))
     with pytest.raises(FileNotFoundError):
         download_model("definitely/not-a-model-xyz")
+
+
+def test_viewer_save_with_frame_tracks(tmp_path):
+    """The frame-head probability strips render into the saved figure."""
+    import numpy as np
+
+    from whisperseg_tpu.audio.viewer import SpecViewer
+
+    sr = 16000
+    audio = np.random.RandomState(0).randn(sr * 2).astype(np.float32) * 0.01
+    pred = {"onset": [0.5], "offset": [0.8], "cluster": ["a"]}
+    T = 100
+    tracks = {"vocal": np.linspace(0, 1, T).astype(np.float32),
+              "onset": np.zeros(T, np.float32),
+              "offset": np.ones(T, np.float32) * 0.5,
+              "cluster": np.zeros(T, np.int32), "quantum": 0.02}
+    out = SpecViewer().save(str(tmp_path / "t.png"), audio, sr,
+                            prediction=pred, label=pred, window_size=2.0,
+                            tracks=tracks)
+    import os
+
+    assert os.path.getsize(out) > 1000

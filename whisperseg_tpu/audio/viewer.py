@@ -78,9 +78,25 @@ class SpecViewer:
 
     # ------------------------------------------------------------------- render
 
+    @staticmethod
+    def _track_strip(track, quantum, start_time, spec_cols, spec_time_step,
+                     rgb, height=14):
+        """Rasterize one frame-head probability track onto the spectrogram
+        column grid as a color-intensity strip (white = 0, full color = 1)."""
+        strip = np.ones((height, spec_cols, 3))
+        t = start_time + np.arange(spec_cols) * spec_time_step
+        idx = np.round(t / quantum).astype(int)
+        valid = (idx >= 0) & (idx < len(track))
+        p = np.zeros(spec_cols)
+        p[valid] = np.clip(np.asarray(track)[idx[valid]], 0.0, 1.0)
+        for c in range(3):
+            strip[:, :, c] = 1.0 - p[None, :] * (1.0 - rgb[c])
+        return strip
+
     def render(self, offset, window_size, audio, prediction, label, sr,
                audio_file_name, frontend: Frontend, precision_bits=3,
-               min_spec_value=None, max_spec_value=None, xticks_step_size=0.5):
+               min_spec_value=None, max_spec_value=None, xticks_step_size=0.5,
+               tracks=None):
         import matplotlib.pyplot as plt
         from matplotlib.patches import Patch
 
@@ -112,10 +128,23 @@ class SpecViewer:
                                      color_mapper)
 
         h = spec_colorful.shape[0]
-        canvas = np.ones((h + 100, spec.shape[1], 3))
+        extra = 64 if tracks is not None else 0
+        canvas = np.ones((h + 100 + extra, spec.shape[1], 3))
         canvas[:h] = spec_colorful
         canvas[h + 10:h + 50] = preds_img
         canvas[h + 60:h + 100] = labels_img
+        if tracks is not None:
+            # frame-head probability strips: vocal (green), onset (blue),
+            # offset (red) — Segmenter.frame_probs output
+            q = float(tracks["quantum"])
+            for i, (name, rgb) in enumerate(
+                    (("vocal", (0.05, 0.55, 0.15)),
+                     ("onset", (0.1, 0.2, 0.8)),
+                     ("offset", (0.75, 0.1, 0.1)))):
+                y = h + 106 + i * 18
+                canvas[y:y + 14] = self._track_strip(
+                    tracks[name], q, start_time, spec.shape[1], spec_time_step,
+                    rgb)
 
         fig, ax = plt.subplots(nrows=1, ncols=1, figsize=(10, 4),
                                tight_layout=True)
@@ -126,6 +155,9 @@ class SpecViewer:
                 fontfamily="monospace")
         ax.text(-137, h + 35, "Prediction:", fontfamily="monospace")
         ax.text(-137, h + 85, "Label:", fontfamily="monospace")
+        if tracks is not None:
+            ax.text(-137, h + 150, "Frame head:\n(voc/on/off)",
+                    fontfamily="monospace")
         ax.set_yticks([])
         ax.set_xticks(tick_values, tick_labels)
         ax.set_xlabel("time (s)")
@@ -152,9 +184,12 @@ class SpecViewer:
     def visualize(self, audio, sr, prediction=None, label=None,
                   min_frequency=None, max_frequency=None, precision_bits=3,
                   audio_file_name="", window_size=5.0, xticks_step_size=0.5,
-                  spec_width=1000, offset: Optional[float] = None):
+                  spec_width=1000, offset: Optional[float] = None,
+                  tracks=None):
         """Interactive (ipywidgets slider) when available and ``offset`` is None;
-        otherwise renders a single figure at the given offset."""
+        otherwise renders a single figure at the given offset. Pass ``tracks``
+        (from ``Segmenter.frame_probs``) to overlay the frame-head
+        vocal/onset/offset probability strips."""
         prediction, label = self._normalize_tables(prediction, label)
         frontend = Frontend(sr, window_size / spec_width,
                             min_frequency or 0, max_frequency)
@@ -164,7 +199,7 @@ class SpecViewer:
 
             self.render(offset, window_size, audio, prediction, label, sr,
                         audio_file_name, frontend, precision_bits,
-                        xticks_step_size=xticks_step_size)
+                        xticks_step_size=xticks_step_size, tracks=tracks)
             plt.show()
 
         if offset is not None:
@@ -181,7 +216,7 @@ class SpecViewer:
 
     def save(self, path, audio, sr, prediction=None, label=None, offset=0.0,
              window_size=5.0, spec_width=1000, min_frequency=None,
-             max_frequency=None, audio_file_name=""):
+             max_frequency=None, audio_file_name="", tracks=None):
         """Render one window to a PNG (headless mode)."""
         import matplotlib
 
@@ -190,7 +225,7 @@ class SpecViewer:
         frontend = Frontend(sr, window_size / spec_width,
                             min_frequency or 0, max_frequency)
         fig = self.render(offset, window_size, audio, prediction, label, sr,
-                          audio_file_name, frontend)
+                          audio_file_name, frontend, tracks=tracks)
         fig.savefig(path, dpi=100)
         import matplotlib.pyplot as plt
 
