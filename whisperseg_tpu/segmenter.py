@@ -312,6 +312,12 @@ class Segmenter:
         frontend = Frontend(sr, spec_time_step, min_frequency)
         self._generate_tokens(clips, frontend, batch_size, max_length,
                               num_beams, top_k, 1.0, 0, None)
+        if "frame_head" in self.params:
+            # pre-compile the frame-VAD path too (frame_mode requests)
+            self.frame_probs(np.zeros(clip_samples, np.float32), sr,
+                             spec_time_step=spec_time_step,
+                             min_frequency=min_frequency,
+                             batch_size=batch_size)
 
     # --------------------------------------------------------------- frame head
 
