@@ -586,3 +586,41 @@ def test_apply_frame_postprocess_filter_runs_first():
     out = apply_frame_postprocess(pred, tr, delta, frame_split=0.5,
                                   frame_filter=0.5)
     assert out["cluster"] == ["a", "a"]   # ghost dropped, real one split
+
+
+def test_segment_applies_checkpoint_default_frame_knobs(monkeypatch):
+    """frame_* knobs stored in default_segmentation_config (e.g. by
+    scripts/fit_postprocess.py --write) activate at segment() time on a
+    frame-head model; an explicit 0 disables them."""
+    import jax
+
+    from whisperseg_tpu.models import init_params
+    from whisperseg_tpu.models.config import WhisperConfig
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                        num_heads=2, d_ff=128, max_source_positions=50,
+                        max_target_positions=32, total_spec_columns=100,
+                        compute_dtype="float32", frame_head=True,
+                        frame_head_clusters=2)
+    seg = Segmenter(init_params(jax.random.PRNGKey(0), cfg), cfg)
+    seg.default_segmentation_config["frame_refine_ms"] = 20.0
+
+    calls = []
+    tracks = {"vocal": np.zeros(50, np.float32),
+              "onset": np.zeros(50, np.float32),
+              "offset": np.zeros(50, np.float32),
+              "cluster": np.zeros(50, np.int32), "quantum": 0.02}
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return tracks
+
+    monkeypatch.setattr(type(seg), "frame_probs", spy)
+    y = make_bursts([(0.2, 0.4)], sr=16000, duration=1.0)
+    common = dict(sr=16000, spec_time_step=0.01, num_trials=1, num_beams=1,
+                  max_length=16, batch_size=2)
+    seg.segment(y, **common)
+    assert calls == [1]          # default activated the frame path
+    seg.segment(y, frame_refine_ms=0, **common)
+    assert calls == [1]          # explicit 0 disables it
