@@ -85,7 +85,7 @@ def test_backend_training_queue_end_to_end(tmp_path):
         r = requests.post(
             f"http://{addr}/submit-training-request",
             data={"model_name": "queued-model", "initial_model_name":
-                  "base-model", "num_epochs": "1"},
+                  "base-model", "num_epochs": "1", "frame_head": "1"},
             files={"zip": ("d.zip", dataset_zip())},
         )
         assert r.status_code == 200, r.json()
@@ -97,6 +97,13 @@ def test_backend_training_queue_end_to_end(tmp_path):
                 break
             time.sleep(5)
         assert final.exists(), "training subprocess did not produce a checkpoint"
+
+        # the frame_head request field reached train.py: the trained
+        # checkpoint carries the head
+        from whisperseg_tpu.checkpoint import load_checkpoint
+
+        p_trained, cfg_trained = load_checkpoint(str(final))
+        assert cfg_trained.frame_head and "frame_head" in p_trained
 
         # the registry should now expose it for inference
         models = state.list_models()

@@ -72,6 +72,8 @@ PAGE = """<!DOCTYPE html>
  <label>New model name</label><input type="text" id="new-model-name">
  <label>Initial model</label><select id="initial-model"></select>
  <label>num_epochs</label><input type="number" id="num-epochs" value="3">
+ <label><input type="checkbox" id="train-frame-head" checked> train the frame
+ head (enables frame-VAD mode and learned post-processing)</label>
  <p><button id="run-finetune">Submit training request</button></p>
  <div class="status" id="finetune-status"></div>
 </section>
@@ -170,6 +172,7 @@ document.getElementById("run-finetune").onclick = async () => {
   fd.append("model_name", document.getElementById("new-model-name").value);
   fd.append("initial_model_name", document.getElementById("initial-model").value);
   fd.append("num_epochs", document.getElementById("num-epochs").value);
+  if (document.getElementById("train-frame-head").checked) fd.append("frame_head", "1");
   const r = await fetch(api("/submit-training-request"), {method: "POST", body: fd});
   const body = await r.json();
   status.innerHTML = r.ok
