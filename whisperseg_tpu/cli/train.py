@@ -71,11 +71,14 @@ def build_parser():
                    help=">0: replace one-hot timestamp targets with a "
                         "discrete Gaussian over neighboring columns (stddev "
                         "in columns) — distance-aware boundary loss")
-    p.add_argument("--frame_head", type=int, default=0,
+    p.add_argument("--frame_head", type=int, default=1,
                    help="train the auxiliary encoder frame head (per-timestamp-"
                         "quantum vocal/onset/offset/cluster logits) jointly "
                         "with the seq2seq loss; enables learned boundary "
-                        "refinement and the decoder-free frame-VAD mode")
+                        "refinement and the decoder-free frame-VAD mode. "
+                        "ON by default (measured: held-out segment F1 0.995 "
+                        "frame-VAD / 0.852 fitted decode from scratch, "
+                        "RESULTS.md); pass 0 for a reference-exact model")
     p.add_argument("--frame_head_weight", type=float, default=1.0,
                    help="frame-head loss weight relative to the token CE")
     p.add_argument("--frame_label_sigma", type=float, default=1.0,
