@@ -380,3 +380,82 @@ def test_frame_head_end_to_end_training(tmp_path):
     assert set(pred) == {"onset", "offset", "cluster"}
     for on, off in zip(pred["onset"], pred["offset"]):
         assert 0 <= on < off <= len(audio) / sr + 1e-6
+
+
+# ------------------------------------------------- frame-mode threshold fitting
+
+
+def test_segment_from_frames_reads_fitted_thresholds(monkeypatch):
+    """Thresholds stored in default_segmentation_config (fit_frame_mode
+    --write) change the run extraction; explicit args still win."""
+    seg = make_segmenter()
+    T, q = 50, 0.02
+    vocal = np.zeros(T, np.float32)
+    vocal[10:20] = 0.4   # below the literal 0.5 default
+    tracks = {"vocal": vocal, "onset": np.zeros(T, np.float32),
+              "offset": np.zeros(T, np.float32),
+              "cluster": np.full(T, -1, np.int32), "quantum": q}
+    monkeypatch.setattr(type(seg), "frame_probs", lambda self, *a, **k: tracks)
+    audio = np.zeros(16000, np.float32)
+
+    # literal default 0.5: the 0.4-probability run is invisible
+    assert seg.segment_from_frames(audio, sr=16000, spec_time_step=0.01
+                                   )["onset"] == []
+    # fitted default activates
+    seg.default_segmentation_config["frame_vocal_threshold"] = 0.3
+    assert len(seg.segment_from_frames(audio, sr=16000, spec_time_step=0.01
+                                       )["onset"]) == 1
+    # explicit arg overrides the fitted default (0.6 hides the 0.4 run even
+    # though the fitted default 0.3 would show it)
+    assert seg.segment_from_frames(audio, sr=16000, spec_time_step=0.01,
+                                   vocal_threshold=0.35)["onset"] != []
+    assert seg.segment_from_frames(audio, sr=16000, spec_time_step=0.01,
+                                   vocal_threshold=0.6)["onset"] == []
+
+
+def test_fit_frame_mode_selects_lower_vocal_threshold():
+    """When the head under-fires (probabilities ~0.35), the grid fit picks a
+    lower vocal threshold that recovers the segments."""
+    from whisperseg_tpu.refine import fit_frame_mode
+
+    q = 0.02
+    delta = 512 / 2 / 16000  # 0.016
+    T = 100
+    vocal = np.zeros(T, np.float32)
+    onset = np.zeros(T, np.float32)
+    offset = np.zeros(T, np.float32)
+    vocal[10:20] = 0.35
+    vocal[40:50] = 0.35
+    onset[10] = onset[40] = 0.9
+    offset[20] = offset[50] = 0.9
+    tracks = {"vocal": vocal, "onset": onset, "offset": offset,
+              "cluster": np.zeros(T, np.int32), "quantum": q}
+    label = {"onset": [10 * q + delta, 40 * q + delta],
+             "offset": [20 * q - delta, 50 * q - delta],
+             "cluster": ["Vocal", "Vocal"], "tolerance": 0.02,
+             "spec_time_step": 0.01}
+    params, table = fit_frame_mode(
+        [tracks], [label], [2.0], [delta], {0: "Vocal"},
+        vocal_threshold=(0.3, 0.5), cut_threshold=(0.5,), boundary_snap=(2,))
+    assert params.get("frame_vocal_threshold") == 0.3, (params, table)
+    assert table["vt_0.3+ct_0.5+snap_2"]["segment_F1"] == 1.0
+    assert table["vt_0.5+ct_0.5+snap_2"]["segment_F1"] == 0.0
+
+
+def test_fit_frame_mode_defaults_win_ties():
+    """When every combination scores the same, the fit returns {} (defaults)."""
+    from whisperseg_tpu.refine import fit_frame_mode
+
+    T, q = 50, 0.02
+    delta = 0.016
+    vocal = np.zeros(T, np.float32)
+    vocal[10:20] = 0.9
+    tracks = {"vocal": vocal, "onset": np.zeros(T, np.float32),
+              "offset": np.zeros(T, np.float32),
+              "cluster": np.zeros(T, np.int32), "quantum": q}
+    label = {"onset": [10 * q + delta], "offset": [20 * q - delta],
+             "cluster": ["Vocal"], "tolerance": 0.05, "spec_time_step": 0.01}
+    params, _ = fit_frame_mode(
+        [tracks], [label], [1.0], [delta], {0: "Vocal"},
+        vocal_threshold=(0.3, 0.5), cut_threshold=(0.5,), boundary_snap=(2,))
+    assert params == {}

@@ -582,3 +582,147 @@ def apply_frame_postprocess(
         prediction = refine_with_frame_tracks(prediction, tracks, time_delta,
                                               search_ms=float(frame_refine_ms))
     return prediction
+
+
+def segments_from_tracks(
+    tracks: Dict[str, np.ndarray],
+    duration: float,
+    time_delta: float,
+    inverse_codebook: Dict[int, str],
+    vocal_threshold: float = 0.5,
+    cut_threshold: float = 0.5,
+    boundary_snap: int = 2,
+    min_segment_length: float = 0.01,
+    precision_bits: int = 3,
+) -> Dict[str, list]:
+    """Pure tracks -> segments conversion for the frame-VAD mode
+    (``Segmenter.segment_from_frames``): threshold the vocal track into runs,
+    cut runs where both event tracks fire, snap boundaries to event peaks
+    (parabolic sub-quantum), FFT-blur correct, majority-vote the cluster.
+
+    Factored out of the Segmenter so the thresholds can be grid-fitted
+    offline on precomputed tracks (scripts/fit_frame_mode.py) — compute the
+    tracks once per file, then score many threshold combinations host-side.
+    """
+    vocal, onset_t, offset_t = tracks["vocal"], tracks["onset"], tracks["offset"]
+    quantum, cluster_ids = float(tracks["quantum"]), tracks["cluster"]
+    T = len(vocal)
+
+    active = vocal > vocal_threshold
+    runs = []
+    start = None
+    for i in range(T):
+        if active[i] and start is None:
+            start = i
+        elif not active[i] and start is not None:
+            runs.append((start, i))
+            start = None
+    if start is not None:
+        runs.append((start, T))
+
+    cut_runs = []
+    for a, b in runs:
+        cuts = [i for i in range(a + 1, b)
+                if onset_t[i] >= cut_threshold and offset_t[i] >= cut_threshold]
+        prev = a
+        for c in cuts:
+            if c > prev:
+                cut_runs.append((prev, c))
+                prev = c
+        cut_runs.append((prev, b))
+
+    onsets, offsets, clusters = [], [], []
+    for a, b in cut_runs:
+        on_pos = frame_peak_pos(onset_t, a, boundary_snap)
+        off_pos = frame_peak_pos(offset_t, b, boundary_snap)
+        on = on_pos * quantum + time_delta
+        off = off_pos * quantum - time_delta
+        if on > off:
+            mid = (on_pos + off_pos) / 2 * quantum
+            on = off = mid
+        on = float(np.clip(on, 0.0, duration))
+        off = float(np.clip(off, 0.0, duration))
+        if off - on < min_segment_length:
+            continue
+        ids = cluster_ids[a:b]
+        ids = ids[ids >= 0]
+        if len(ids):
+            cid = int(np.bincount(ids).argmax())
+            name = inverse_codebook.get(cid, "Vocal")
+        else:
+            name = "Vocal"
+        onsets.append(float(np.round(on, precision_bits)))
+        offsets.append(float(np.round(off, precision_bits)))
+        clusters.append(name)
+    return {"onset": onsets, "offset": offsets, "cluster": clusters}
+
+
+FRAME_MODE_KEYS = ("frame_vocal_threshold", "frame_cut_threshold",
+                   "frame_boundary_snap")
+
+
+def fit_frame_mode(
+    tracks_list,
+    labels,
+    durations,
+    time_deltas,
+    inverse_codebook,
+    vocal_threshold=(0.3, 0.4, 0.5, 0.6),
+    cut_threshold=(0.3, 0.5, 0.7),
+    boundary_snap=(2, 4, 8),
+    min_segment_lengths=None,
+):
+    """Grid-fit the frame-VAD thresholds on a labeled set (intended: the
+    TRAINING files; tracks precomputed once per file). Selection: micro
+    segment F1, tie-broken by frame F1 then by proximity to the defaults.
+
+    Returns ``(best_params, table)`` with ``best_params`` keyed by
+    ``FRAME_MODE_KEYS`` (only values differing from the defaults included;
+    empty dict = defaults already optimal).
+    """
+    from itertools import product
+
+    from .scoring import frame_score, segment_score
+
+    tols = [lab.get("tolerance",
+                    lab.get("spec_time_step", 0.0025) * 4) for lab in labels]
+    tpfs = [lab.get("time_per_frame_for_scoring",
+                    min(0.001, lab.get("spec_time_step", 0.0025)))
+            for lab in labels]
+    if min_segment_lengths is None:
+        min_segment_lengths = [lab.get("spec_time_step", 0.0025) * 2
+                               for lab in labels]
+
+    defaults = (0.5, 0.5, 2)
+    best, best_key, table = None, None, {}
+    for vt, ct, bs in product(vocal_threshold, cut_threshold, boundary_snap):
+        seg_tp = seg_p = seg_l = fr_tp = fr_p = fr_l = 0.0
+        for tr, lab, dur, td, tol, tpf, msl in zip(
+                tracks_list, labels, durations, time_deltas, tols, tpfs,
+                min_segment_lengths):
+            pred = segments_from_tracks(tr, dur, td, inverse_codebook,
+                                        vocal_threshold=vt, cut_threshold=ct,
+                                        boundary_snap=bs,
+                                        min_segment_length=msl)
+            tp, p, l = segment_score(pred, lab, tolerance=tol)[:3]
+            seg_tp += tp; seg_p += p; seg_l += l
+            tp, p, l = frame_score(pred, lab, time_per_frame_for_scoring=tpf)[:3]
+            fr_tp += tp; fr_p += p; fr_l += l
+
+        def f1(tp, p, l):
+            pr, rc = tp / max(p, 1e-9), tp / max(l, 1e-9)
+            return 2 * pr * rc / max(pr + rc, 1e-9)
+
+        seg_f1, fr_f1 = f1(seg_tp, seg_p, seg_l), f1(fr_tp, fr_p, fr_l)
+        name = f"vt_{vt:g}+ct_{ct:g}+snap_{bs:g}"
+        table[name] = {"segment_F1": round(seg_f1, 4),
+                       "frame_F1": round(fr_f1, 4)}
+        closeness = -(abs(vt - defaults[0]) + abs(ct - defaults[1])
+                      + abs(bs - defaults[2]) / 10.0)
+        key = (round(seg_f1, 4), round(fr_f1, 4), closeness)
+        if best_key is None or key > best_key:
+            best_key, best = key, (vt, ct, bs)
+
+    params = {k: v for k, v in zip(FRAME_MODE_KEYS, best)
+              if v != dict(zip(FRAME_MODE_KEYS, defaults))[k]}
+    return params, table

@@ -413,21 +413,28 @@ class Segmenter:
         spec_time_step: Optional[float] = None,
         min_frequency: Optional[float] = None,
         batch_size: int = 8,
-        vocal_threshold: float = 0.5,
-        cut_threshold: float = 0.5,
-        boundary_snap: int = 2,
+        vocal_threshold: Optional[float] = None,
+        cut_threshold: Optional[float] = None,
+        boundary_snap: Optional[int] = None,
         min_segment_length: Optional[float] = None,
     ) -> Dict[str, list]:
         """Decoder-free segmentation from the frame head (fast VAD mode).
 
         One encoder pass per window — no autoregressive decode — so it runs
-        orders of magnitude faster than ``segment()``. Pipeline: threshold the
-        vocal track into runs; cut runs at interior positions where both the
-        onset and offset event tracks exceed ``cut_threshold`` (two
-        vocalizations merged without a gap — the structural failure mode of
-        weak seq2seq models, DEVNOTES.md); snap each boundary to the nearest
-        event-track peak within ``boundary_snap`` positions with parabolic
-        sub-quantum interpolation; FFT-blur correction as in ``segment()``."""
+        orders of magnitude faster than ``segment()``. Pipeline
+        (refine.segments_from_tracks): threshold the vocal track into runs;
+        cut runs at interior positions where both the onset and offset event
+        tracks exceed ``cut_threshold`` (two vocalizations merged without a
+        gap — the structural failure mode of weak seq2seq models,
+        DEVNOTES.md); snap each boundary to the nearest event-track peak
+        within ``boundary_snap`` positions with parabolic sub-quantum
+        interpolation; FFT-blur correction as in ``segment()``.
+
+        Threshold defaults follow the standard precedence chain: explicit
+        arg > checkpoint's default_segmentation_config
+        (``frame_vocal_threshold`` / ``frame_cut_threshold`` /
+        ``frame_boundary_snap``, e.g. fitted by scripts/fit_frame_mode.py)
+        > literal (0.5 / 0.5 / 2)."""
         if min_frequency is None:
             min_frequency = self.default_segmentation_config.get("min_frequency", 0)
         if spec_time_step is None:
@@ -435,68 +442,25 @@ class Segmenter:
                 "spec_time_step", 0.0025)
         if min_segment_length is None:
             min_segment_length = spec_time_step * RATIO
+        dsc = self.default_segmentation_config
+        if vocal_threshold is None:
+            vocal_threshold = dsc.get("frame_vocal_threshold", 0.5)
+        if cut_threshold is None:
+            cut_threshold = dsc.get("frame_cut_threshold", 0.5)
+        if boundary_snap is None:
+            boundary_snap = int(dsc.get("frame_boundary_snap", 2))
 
         tracks = self.frame_probs(audio, sr, spec_time_step=spec_time_step,
                                   min_frequency=min_frequency,
                                   batch_size=batch_size)
-        vocal, onset_t, offset_t = tracks["vocal"], tracks["onset"], tracks["offset"]
-        quantum, cluster_ids = tracks["quantum"], tracks["cluster"]
-        T = len(vocal)
+        from .refine import segments_from_tracks
 
-        from .refine import frame_peak_pos
-
-        # vocal runs
-        active = vocal > vocal_threshold
-        runs: List[Tuple[int, int]] = []
-        start = None
-        for i in range(T):
-            if active[i] and start is None:
-                start = i
-            elif not active[i] and start is not None:
-                runs.append((start, i))
-                start = None
-        if start is not None:
-            runs.append((start, T))
-
-        # interior cuts where both event tracks fire (merged vocalizations)
-        cut_runs: List[Tuple[int, int]] = []
-        for a, b in runs:
-            cuts = [i for i in range(a + 1, b)
-                    if onset_t[i] >= cut_threshold and offset_t[i] >= cut_threshold]
-            prev = a
-            for c in cuts:
-                if c > prev:
-                    cut_runs.append((prev, c))
-                    prev = c
-            cut_runs.append((prev, b))
-
-        time_delta = fft_time_delta(sr)
-        duration = len(np.asarray(audio)) / sr
-        onsets, offsets, clusters = [], [], []
-        inv = self.inverse_cluster_codebook
-        for a, b in cut_runs:
-            on_pos = frame_peak_pos(onset_t, a, boundary_snap)
-            off_pos = frame_peak_pos(offset_t, b, boundary_snap)
-            on = on_pos * quantum + time_delta
-            off = off_pos * quantum - time_delta
-            if on > off:
-                mid = (on_pos + off_pos) / 2 * quantum
-                on = off = mid
-            on = float(np.clip(on, 0.0, duration))
-            off = float(np.clip(off, 0.0, duration))
-            if off - on < min_segment_length:
-                continue
-            ids = cluster_ids[a:b]
-            ids = ids[ids >= 0]
-            if len(ids):
-                cid = int(np.bincount(ids).argmax())
-                name = inv.get(cid, "Vocal")
-            else:
-                name = "Vocal"
-            onsets.append(float(np.round(on, self.precision_bits)))
-            offsets.append(float(np.round(off, self.precision_bits)))
-            clusters.append(name)
-        return {"onset": onsets, "offset": offsets, "cluster": clusters}
+        return segments_from_tracks(
+            tracks, len(np.asarray(audio)) / sr, fft_time_delta(sr),
+            self.inverse_cluster_codebook, vocal_threshold=vocal_threshold,
+            cut_threshold=cut_threshold, boundary_snap=boundary_snap,
+            min_segment_length=min_segment_length,
+            precision_bits=self.precision_bits)
 
     # ------------------------------------------------------------------- parsing
 
