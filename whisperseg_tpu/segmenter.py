@@ -420,8 +420,13 @@ class Segmenter:
     ) -> Dict[str, list]:
         """Decoder-free segmentation from the frame head (fast VAD mode).
 
-        One encoder pass per window — no autoregressive decode — so it runs
-        orders of magnitude faster than ``segment()``. Pipeline
+        One encoder pass per window — the autoregressive decode stage is
+        removed entirely. How much wall-clock that saves depends on where
+        decode sits in the pipeline: at the production bench plateau decode
+        is ~20% (BENCH.md), and in dispatch-bound environments small
+        workloads measure near-parity (scripts/bench_frames.py: 0.94x on 4
+        files over the tunnel) — the win here is QUALITY (RESULTS.md), with
+        speed a secondary benefit on co-located hardware. Pipeline
         (refine.segments_from_tracks): threshold the vocal track into runs;
         cut runs at interior positions where both the onset and offset event
         tracks exceed ``cut_threshold`` (two vocalizations merged without a
