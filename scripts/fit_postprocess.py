@@ -99,9 +99,18 @@ def main(argv=None):
         print(f"decoded {os.path.basename(ap_)}: {len(pred['onset'])} segments",
               file=sys.stderr, flush=True)
 
+    # gate split pieces at the SAME minimum length segment() will use at
+    # inference (min_segment_length = spec_time_step * 2), so the fitted
+    # combination behaves identically when deployed
+    import numpy as _np
+
+    min_len_s = float(_np.median(
+        [lab.get("spec_time_step", 0.0025) for lab in labels])) * 2
+
     params, table = fit_postprocess(
         preds, labels, audios, srs, merge_gap_ms=args.merge_gap_ms,
         split_db=args.split_db, widths_ms=args.widths_ms,
+        min_len_s=min_len_s,
         frame_tracks=tracks, time_deltas=deltas,
         frame_split=args.frame_split, frame_refine_ms=args.frame_refine_ms,
         frame_filter=args.frame_filter)

@@ -624,3 +624,55 @@ def test_segment_applies_checkpoint_default_frame_knobs(monkeypatch):
     assert calls == [1]          # default activated the frame path
     seg.segment(y, frame_refine_ms=0, **common)
     assert calls == [1]          # explicit 0 disables it
+
+
+def test_refine_with_frame_tracks_no_peak_keeps_offgrid_boundary():
+    """Review regression: the no-peak fallback must return the ORIGINAL
+    (off-grid) boundary, not a grid-quantized one — and never a negative
+    onset near t=0."""
+    from whisperseg_tpu.refine import refine_with_frame_tracks
+
+    q = 0.005
+    delta = 0.008  # sr=32k: time_delta > quantum/2
+    pred = {"onset": [0.1023, 0.0], "offset": [0.2511, 0.05],
+            "cluster": ["a", "b"]}
+    out = refine_with_frame_tracks(pred, _tracks(T=200, q=q), delta,
+                                   search_ms=20.0)
+    assert out["onset"] == pred["onset"]
+    assert out["offset"] == pred["offset"]
+    assert out["onset"][1] >= 0.0
+
+
+def test_segment_dedups_after_frame_snap(monkeypatch):
+    """Review regression: two decoded segments snapping to the same event
+    peaks must collapse to ONE output segment (the pre-post-processing dedup
+    cannot see them)."""
+    import jax
+
+    from whisperseg_tpu.models import init_params
+    from whisperseg_tpu.models.config import WhisperConfig
+    from whisperseg_tpu.segmenter import Segmenter
+
+    cfg = WhisperConfig(d_model=64, encoder_layers=1, decoder_layers=1,
+                        num_heads=2, d_ff=128, max_source_positions=50,
+                        max_target_positions=32, total_spec_columns=100,
+                        compute_dtype="float32", frame_head=True,
+                        frame_head_clusters=2)
+    seg = Segmenter(init_params(jax.random.PRNGKey(0), cfg), cfg)
+
+    sr, q = 16000, 0.02
+    from whisperseg_tpu.constants import fft_time_delta
+    delta = fft_time_delta(sr)
+    tr = _tracks(T=50, q=q, onset={12: 1.0}, offset={20: 1.0})
+    monkeypatch.setattr(type(seg), "frame_probs", lambda self, *a, **k: tr)
+    # two distinct decoded segments that will both snap to peaks 12/20
+    monkeypatch.setattr(
+        type(seg), "_parse_generation",
+        lambda self, *a, **k: {"onset": [11 * q - delta, 13 * q - delta],
+                               "offset": [19 * q + delta, 21 * q + delta],
+                               "cluster": ["Vocal", "Vocal"]})
+    y = make_bursts([(0.2, 0.4)], sr=sr, duration=1.5)
+    pred = seg.segment(y, sr=sr, spec_time_step=0.01, num_trials=1,
+                       num_beams=1, max_length=16, batch_size=2,
+                       frame_refine_ms=60.0)
+    assert len(pred["onset"]) == 1, pred

@@ -311,6 +311,36 @@ POSTPROCESS_KEYS = ("merge_gap_ms", "split_merged_db", "refine_boundaries_ms")
 FRAME_POSTPROCESS_KEYS = ("frame_split", "frame_refine_ms", "frame_filter")
 
 
+def _scoring_resolutions(labels):
+    """Per-label (tolerance, time_per_frame_for_scoring) with the reference's
+    defaults (reference model.py:494-495, 519-520)."""
+    tols = [lab.get("tolerance",
+                    lab.get("spec_time_step", 0.0025) * 4) for lab in labels]
+    tpfs = [lab.get("time_per_frame_for_scoring",
+                    min(0.001, lab.get("spec_time_step", 0.0025)))
+            for lab in labels]
+    return tols, tpfs
+
+
+def micro_f1(preds, labels, tols, tpfs):
+    """Micro-averaged (segment_F1, frame_F1) over a corpus — the shared
+    objective of both offline fitters below."""
+    from .scoring import frame_score, segment_score
+
+    seg_tp = seg_p = seg_l = fr_tp = fr_p = fr_l = 0.0
+    for pred, lab, tol, tpf in zip(preds, labels, tols, tpfs):
+        tp, p, l = segment_score(pred, lab, tolerance=tol)[:3]
+        seg_tp += tp; seg_p += p; seg_l += l
+        tp, p, l = frame_score(pred, lab, time_per_frame_for_scoring=tpf)[:3]
+        fr_tp += tp; fr_p += p; fr_l += l
+
+    def f1(tp, p, l):
+        pr, rc = tp / max(p, 1e-9), tp / max(l, 1e-9)
+        return 2 * pr * rc / max(pr + rc, 1e-9)
+
+    return f1(seg_tp, seg_p, seg_l), f1(fr_tp, fr_p, fr_l)
+
+
 def fit_postprocess(
     predictions,
     labels,
@@ -349,29 +379,12 @@ def fit_postprocess(
     """
     from itertools import product
 
-    from .scoring import frame_score, segment_score
-
     envs = [band_envelope_db(np.asarray(a, dtype=np.float32), sr)
             for a, sr in zip(audios, srs)]
-    tols = [lab.get("tolerance",
-                    lab.get("spec_time_step", 0.0025) * 4) for lab in labels]
-    tpfs = [lab.get("time_per_frame_for_scoring",
-                    min(0.001, lab.get("spec_time_step", 0.0025)))
-            for lab in labels]
+    tols, tpfs = _scoring_resolutions(labels)
 
     def micro(preds):
-        seg_tp = seg_p = seg_l = fr_tp = fr_p = fr_l = 0.0
-        for pred, lab, tol, tpf in zip(preds, labels, tols, tpfs):
-            tp, p, l = segment_score(pred, lab, tolerance=tol)[:3]
-            seg_tp += tp; seg_p += p; seg_l += l
-            tp, p, l = frame_score(pred, lab, time_per_frame_for_scoring=tpf)[:3]
-            fr_tp += tp; fr_p += p; fr_l += l
-
-        def f1(tp, p, l):
-            pr, rc = tp / max(p, 1e-9), tp / max(l, 1e-9)
-            return 2 * pr * rc / max(pr + rc, 1e-9)
-
-        return f1(seg_tp, seg_p, seg_l), f1(fr_tp, fr_p, fr_l)
+        return micro_f1(preds, labels, tols, tpfs)
 
     fit_frames = frame_tracks is not None
     if not fit_frames:
@@ -507,14 +520,27 @@ def refine_with_frame_tracks(
         return prediction
     onset_t, offset_t = tracks["onset"], tracks["offset"]
     q = float(tracks["quantum"])
+    T = len(onset_t)
     radius = max(int(np.round(search_ms / 1000.0 / q)), 1)
+
+    def snap(track, center):
+        """Peak position, or None when no peak exceeds min_peak in the
+        window — the caller then keeps the ORIGINAL (unquantized) boundary,
+        honoring the "stays put" contract (the grid-rounded fallback would
+        drift off-grid boundaries by up to quantum/2)."""
+        lo, hi = max(center - radius, 0), min(center + radius, T - 1)
+        if hi < lo or float(track[lo:hi + 1].max()) < min_peak:
+            return None
+        return frame_peak_pos(track, center, radius, min_peak)
 
     new_on, new_off = [], []
     for on, off in zip(onsets, offsets):
         a = int(np.round((on - time_delta) / q))
         b = int(np.round((off + time_delta) / q))
-        on2 = frame_peak_pos(onset_t, a, radius, min_peak) * q + time_delta
-        off2 = frame_peak_pos(offset_t, b, radius, min_peak) * q - time_delta
+        p_on = snap(onset_t, a)
+        p_off = snap(offset_t, b)
+        on2 = on if p_on is None else p_on * q + time_delta
+        off2 = off if p_off is None else p_off * q - time_delta
         if on2 >= off2:   # refinement collapsed the segment: keep original
             on2, off2 = on, off
         new_on.append(on2)
@@ -682,13 +708,7 @@ def fit_frame_mode(
     """
     from itertools import product
 
-    from .scoring import frame_score, segment_score
-
-    tols = [lab.get("tolerance",
-                    lab.get("spec_time_step", 0.0025) * 4) for lab in labels]
-    tpfs = [lab.get("time_per_frame_for_scoring",
-                    min(0.001, lab.get("spec_time_step", 0.0025)))
-            for lab in labels]
+    tols, tpfs = _scoring_resolutions(labels)
     if min_segment_lengths is None:
         min_segment_lengths = [lab.get("spec_time_step", 0.0025) * 2
                                for lab in labels]
@@ -696,24 +716,14 @@ def fit_frame_mode(
     defaults = (0.5, 0.5, 2)
     best, best_key, table = None, None, {}
     for vt, ct, bs in product(vocal_threshold, cut_threshold, boundary_snap):
-        seg_tp = seg_p = seg_l = fr_tp = fr_p = fr_l = 0.0
-        for tr, lab, dur, td, tol, tpf, msl in zip(
-                tracks_list, labels, durations, time_deltas, tols, tpfs,
-                min_segment_lengths):
-            pred = segments_from_tracks(tr, dur, td, inverse_codebook,
-                                        vocal_threshold=vt, cut_threshold=ct,
-                                        boundary_snap=bs,
-                                        min_segment_length=msl)
-            tp, p, l = segment_score(pred, lab, tolerance=tol)[:3]
-            seg_tp += tp; seg_p += p; seg_l += l
-            tp, p, l = frame_score(pred, lab, time_per_frame_for_scoring=tpf)[:3]
-            fr_tp += tp; fr_p += p; fr_l += l
-
-        def f1(tp, p, l):
-            pr, rc = tp / max(p, 1e-9), tp / max(l, 1e-9)
-            return 2 * pr * rc / max(pr + rc, 1e-9)
-
-        seg_f1, fr_f1 = f1(seg_tp, seg_p, seg_l), f1(fr_tp, fr_p, fr_l)
+        preds = [
+            segments_from_tracks(tr, dur, td, inverse_codebook,
+                                 vocal_threshold=vt, cut_threshold=ct,
+                                 boundary_snap=bs, min_segment_length=msl)
+            for tr, dur, td, msl in zip(tracks_list, durations, time_deltas,
+                                        min_segment_lengths)
+        ]
+        seg_f1, fr_f1 = micro_f1(preds, labels, tols, tpfs)
         name = f"vt_{vt:g}+ct_{ct:g}+snap_{bs:g}"
         table[name] = {"segment_F1": round(seg_f1, 4),
                        "frame_F1": round(fr_f1, 4)}

@@ -23,6 +23,7 @@ WhisperSegmenterFast, WhisperSegmenterForEval).
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -384,18 +385,25 @@ class Segmenter:
 
         import jax.numpy as jnp
 
+        # One in-flight frame computation per segmenter: frame_probs runs on
+        # the CALLER's thread (unlike _generate_tokens, which a
+        # BatchingSegmenter routes through its single worker), so concurrent
+        # frame_mode service requests would otherwise each dispatch their own
+        # device batches and stack up device memory.
+        lock = self.__dict__.setdefault("_frame_lock", threading.Lock())
         probs_parts, cl_parts = [], []
         n = clips.shape[0]
-        for pos in range(0, n, batch_size):
-            chunk = clips[pos:pos + batch_size]
-            real = chunk.shape[0]
-            if real < batch_size:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((batch_size - real,) + chunk.shape[1:],
-                                     chunk.dtype)])
-            p, c = fn(self.params, jnp.asarray(chunk))
-            probs_parts.append(np.asarray(p)[:real])
-            cl_parts.append(np.asarray(c)[:real])
+        with lock:
+            for pos in range(0, n, batch_size):
+                chunk = clips[pos:pos + batch_size]
+                real = chunk.shape[0]
+                if real < batch_size:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((batch_size - real,) + chunk.shape[1:],
+                                         chunk.dtype)])
+                p, c = fn(self.params, jnp.asarray(chunk))
+                probs_parts.append(np.asarray(p)[:real])
+                cl_parts.append(np.asarray(c)[:real])
         probs = np.concatenate(probs_parts).reshape(-1, 3)   # [n*S, 3]
         cluster = np.concatenate(cl_parts).reshape(-1)
 
@@ -640,6 +648,11 @@ class Segmenter:
 
         # Learned (frame-head) post-processing: split decoder merges at
         # event-track cuts, snap boundaries to event peaks (refine.py).
+        # COST: frame_probs re-runs the encoder over the audio (a second
+        # pass; the decode call's encoder output is not currently reused),
+        # roughly doubling encoder time when fitted knobs are active. Known
+        # optimization: emit frame probabilities from the fused decode
+        # computation for trial 0 (same windows as frame_probs).
         if ((frame_split or frame_refine_ms or frame_filter)
                 and "frame_head" in self.params):
             tracks = self.frame_probs(audio, sr, spec_time_step=spec_time_step,
@@ -656,6 +669,19 @@ class Segmenter:
                           for t in final["onset"]]
         final["offset"] = [float(np.round(t, self.precision_bits))
                            for t in final["offset"]]
+        # Re-dedup after post-processing + rounding: two nearby decoded
+        # segments can snap to the SAME event peaks (frame_refine) or round
+        # to identical boundaries, re-creating duplicates the earlier pass
+        # (which ran pre-post-processing) could not see.
+        if final["onset"]:
+            clean = []
+            for row in sorted(zip(final["onset"], final["offset"],
+                                  final["cluster"]), key=lambda x: x[0]):
+                if not clean or row != clean[-1]:
+                    clean.append(row)
+            final["onset"] = [c[0] for c in clean]
+            final["offset"] = [c[1] for c in clean]
+            final["cluster"] = [c[2] for c in clean]
         return final
 
     # ------------------------------------------------------------------- scoring

@@ -196,8 +196,9 @@ class BackendState:
                         "--model_folder", model_folder,
                         "--max_num_epochs", str(req["num_epochs"]),
                         "--ignore_cluster", str(req["ignore_cluster"]),
-                        # beyond reference: frame-VAD head (docs/ModelTraining.md)
-                        "--frame_head", str(req.get("frame_head", 0)),
+                        # beyond reference: frame-VAD head (docs/ModelTraining.md);
+                        # default 1 matches cli/train.py's default
+                        "--frame_head", str(req.get("frame_head", 1)),
                     ], timeout=self.training_timeout)
                     self.training_active = False
                     print("Training finished.")
@@ -258,7 +259,7 @@ def build_app(state: BackendState) -> JsonHTTPServer:
             initial_model_name = req.form_get("initial_model_name")
             num_epochs = req.form_get("num_epochs", type=int, default=3)
             ignore_cluster = req.form_get("ignore_cluster", type=int, default=0)
-            frame_head = req.form_get("frame_head", type=int, default=0)
+            frame_head = req.form_get("frame_head", type=int, default=1)
 
             if model_name is None:
                 return {"error": "Model name cannot be empty"}, 400

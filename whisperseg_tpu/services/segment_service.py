@@ -91,30 +91,29 @@ def build_app(segmenter, batch_size: int = 8,
                         spec_time_step=info.get("spec_time_step", None),
                         batch_size=batch_size,
                     )
-                    if adobe:
-                        prediction = adobe_audition_format(prediction)
-                    return prediction, 201
-                prediction = segmenter.segment(
-                    audio, sr=sr,
-                    min_frequency=info.get("min_frequency", None),
-                    spec_time_step=info.get("spec_time_step", None),
-                    min_segment_length=info.get("min_segment_length", None),
-                    eps=info.get("eps", None),
-                    num_trials=info.get("num_trials", 3),
-                    batch_size=batch_size,
-                    # beyond the reference's request schema (which fixes
-                    # these server-side): optional decode knobs
-                    num_beams=info.get("num_beams", 4),
-                    max_length=info.get("max_length", 448),
-                    top_p=info.get("top_p", 1.0),
-                    refine_boundaries_ms=info.get("refine_boundaries_ms",
-                                                  None),
-                    split_merged_db=info.get("split_merged_db", None),
-                    merge_gap_ms=info.get("merge_gap_ms", None),
-                    frame_split=info.get("frame_split", None),
-                    frame_refine_ms=info.get("frame_refine_ms", None),
-                    frame_filter=info.get("frame_filter", None),
-                )
+                else:
+                    prediction = segmenter.segment(
+                        audio, sr=sr,
+                        min_frequency=info.get("min_frequency", None),
+                        spec_time_step=info.get("spec_time_step", None),
+                        min_segment_length=info.get("min_segment_length",
+                                                    None),
+                        eps=info.get("eps", None),
+                        num_trials=info.get("num_trials", 3),
+                        batch_size=batch_size,
+                        # beyond the reference's request schema (which fixes
+                        # these server-side): optional decode knobs
+                        num_beams=info.get("num_beams", 4),
+                        max_length=info.get("max_length", 448),
+                        top_p=info.get("top_p", 1.0),
+                        refine_boundaries_ms=info.get("refine_boundaries_ms",
+                                                      None),
+                        split_merged_db=info.get("split_merged_db", None),
+                        merge_gap_ms=info.get("merge_gap_ms", None),
+                        frame_split=info.get("frame_split", None),
+                        frame_refine_ms=info.get("frame_refine_ms", None),
+                        frame_filter=info.get("frame_filter", None),
+                    )
             except Exception:
                 print("Segmentation Error! Returning an empty prediction ...")
                 prediction = {"onset": [], "offset": [], "cluster": []}
