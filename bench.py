@@ -46,9 +46,20 @@ SPEC_TIME_STEP = 0.0025
 
 MODEL_PATH = os.environ.get("BENCH_MODEL_PATH")  # real checkpoint (optional)
 EARLY_EXIT = os.environ.get("BENCH_EARLY_EXIT", "0") == "1"
+# BENCH_FRAME_MODE=1: the decoder-free frame-VAD segmentation path
+# (Segmenter.segment_from_frames) — one encoder pass + frame-head logits per
+# window, no autoregressive decode. Measured held-out quality from scratch:
+# segment F1 0.995 / frame F1 0.988 (RESULTS.md), i.e. this is a production
+# configuration, not a stripped-down toy.
+FRAME_MODE = os.environ.get("BENCH_FRAME_MODE", "0") == "1"
 
 
 def main():
+    # honor an explicit JAX_PLATFORMS=cpu (the axon PJRT plugin overrides the
+    # env var; this re-asserts it) — used for CPU smoke runs of the bench
+    from whisperseg_tpu.runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -66,7 +77,8 @@ def main():
         params, cfg = load_checkpoint(MODEL_PATH)
     else:
         cfg = make_config(MODEL_SIZE, total_spec_columns=1000,
-                          num_kv_heads=GQA_KV_HEADS or 0)
+                          num_kv_heads=GQA_KV_HEADS or 0,
+                          frame_head=FRAME_MODE, frame_head_clusters=2)
         params = init_params(jax.random.PRNGKey(0), cfg)
     # inference weights: int8 projections + bf16 rest by default (the decode
     # loop is HBM-bound on the weight stream; see Segmenter.inference_dtype)
@@ -97,18 +109,41 @@ def main():
     int8_kv = os.environ.get(
         "BENCH_INT8_KV", "0" if GQA_KV_HEADS else "1") == "1"
 
-    @jax.jit
-    def segment_batch(params, clips):
-        feats = frontend.features_for_clips(clips, 1000)
-        # early_exit=False default: random weights emit EOT unpredictably;
-        # force the calibrated per-window token budget so runs are comparable.
-        # BENCH_EARLY_EXIT=1 (with BENCH_MODEL_PATH) measures the production
-        # behavior: the whole batch stops once every row has emitted EOT.
-        # int8_kv: Pallas cross-attention kernel with in-VMEM dequant
-        # (F1-neutral, halves the dominant decode-step HBM stream; BENCH.md).
-        return generate(params, cfg, feats, max_length=MAX_LENGTH,
-                        num_beams=1, top_k=1, early_exit=EARLY_EXIT,
-                        int8_kv=int8_kv)
+    if FRAME_MODE:
+        from whisperseg_tpu.models.whisper import (encoder_forward,
+                                                   frame_head_forward)
+
+        if "frame_head" not in params:
+            raise SystemExit("BENCH_FRAME_MODE=1 needs a frame-head model "
+                             "(BENCH_MODEL_PATH trained with --frame_head, "
+                             "or the default random-init config)")
+
+        @jax.jit
+        def segment_batch(params, clips):
+            # frame-VAD: the decode stage is gone; device work is
+            # frontend + one encoder pass + the frame-head projection.
+            # (The host-side run-extraction in refine.segments_from_tracks
+            # is microseconds per window and excluded, same as the decode
+            # bench excludes transcript parsing.)
+            feats = frontend.features_for_clips(clips, 1000)
+            enc = encoder_forward(params, cfg, feats)
+            return frame_head_forward(params, cfg, enc)
+
+    else:
+        @jax.jit
+        def segment_batch(params, clips):
+            feats = frontend.features_for_clips(clips, 1000)
+            # early_exit=False default: random weights emit EOT unpredictably;
+            # force the calibrated per-window token budget so runs are
+            # comparable. BENCH_EARLY_EXIT=1 (with BENCH_MODEL_PATH) measures
+            # the production behavior: the whole batch stops once every row
+            # has emitted EOT.
+            # int8_kv: Pallas cross-attention kernel with in-VMEM dequant
+            # (F1-neutral, halves the dominant decode-step HBM stream;
+            # BENCH.md).
+            return generate(params, cfg, feats, max_length=MAX_LENGTH,
+                            num_beams=1, top_k=1, early_exit=EARLY_EXIT,
+                            int8_kv=int8_kv)
 
     audio_path = os.environ.get("BENCH_AUDIO")
     if audio_path:
@@ -159,9 +194,10 @@ def main():
         # default is the reference's own architecture (apples-to-apples);
         # BENCH_GQA=4 measures the beyond-reference GQA configuration
         "config": (f"whisper-{model_name} {arch} {quant} batch={BATCH} "
-                   f"greedy max_length={MAX_LENGTH} "
-                   + ("early-exit real-ckpt" if EARLY_EXIT and MODEL_PATH
-                      else "forced-budget")),
+                   + ("frame-VAD (decoder-free)" if FRAME_MODE else
+                      f"greedy max_length={MAX_LENGTH} "
+                      + ("early-exit real-ckpt" if EARLY_EXIT and MODEL_PATH
+                         else "forced-budget"))),
     }))
 
 
