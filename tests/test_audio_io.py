@@ -129,3 +129,24 @@ def test_ieee_float_wav(tmp_path):
     y, got = read_wav(str(p))
     assert got == sr
     np.testing.assert_allclose(y[:, 0], x, atol=1e-7)
+
+
+def test_save_wav_roundtrip(tmp_path):
+    from whisperseg_tpu.audio.io import save_wav
+
+    sr = 22050
+    rng = np.random.RandomState(0)
+    y = np.clip(rng.randn(4000) * 0.2, -1, 1).astype(np.float32)
+    p = tmp_path / "out.wav"
+    save_wav(str(p), y, sr)
+    got, got_sr = read_wav(str(p))
+    assert got_sr == sr
+    assert got.shape == (4000, 1)
+    np.testing.assert_allclose(got[:, 0], y, atol=2.0 / 32767)
+
+    # stereo
+    y2 = np.stack([y, -y], axis=1)
+    save_wav(str(p), y2, sr)
+    got2, _ = read_wav(str(p))
+    assert got2.shape == (4000, 2)
+    np.testing.assert_allclose(got2, y2, atol=2.0 / 32767)

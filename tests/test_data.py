@@ -318,3 +318,37 @@ def test_dataloader_abandoned_iterator_releases_producer():
             break
         time.sleep(0.05)
     assert not extra, f"producer threads leaked: {extra}"
+
+
+def test_split_train_test_script(tmp_path):
+    """scripts/split_train_test.py writes reloadable wav+json splits
+    (reference scripts/Split_train_test.ipynb)."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    make_dataset_dir(src, n_files=3)
+    train_dir, test_dir = tmp_path / "train", tmp_path / "test"
+    out = subprocess.run(
+        [sys.executable, "scripts/split_train_test.py",
+         "--dataset_folder", str(src), "--train_folder", str(train_dir),
+         "--test_folder", str(test_dir), "--val_ratio", "0.25"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+
+    a_tr, l_tr = get_audio_and_label_paths(str(train_dir))
+    a_te, l_te = get_audio_and_label_paths(str(test_dir))
+    assert len(a_tr) == 3 and len(a_te) == 3  # head/tail split of each file
+    for lp in l_tr + l_te:
+        label = json.load(open(lp))
+        assert "cluster_id" not in label
+        assert label["sr"] == 16000
+        assert len(label["onset"]) == len(label["offset"]) == len(label["cluster"])
+    # the splits partition each file's duration: train + test ~ original
+    from whisperseg_tpu.audio import get_audio_duration
+
+    total = sum(get_audio_duration(p) for p in a_tr + a_te)
+    assert total == pytest.approx(3 * 2.0, abs=0.1)

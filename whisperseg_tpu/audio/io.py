@@ -124,6 +124,23 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
         return out
 
 
+def save_wav(path, y: np.ndarray, sr: int) -> None:
+    """Write float audio as a 16-bit PCM WAV file (the counterpart of
+    ``read_wav``; the reference writes split datasets with soundfile's
+    16-bit default, scripts/Split_train_test.ipynb).
+
+    ``y``: float array in [-1, 1], 1-D (mono) or (frames, channels)."""
+    y = np.asarray(y, dtype=np.float32)
+    if y.ndim == 1:
+        y = y[:, None]
+    pcm = np.clip(np.round(y * 32767.0), -32768, 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(pcm.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(sr))
+        w.writeframes(pcm.tobytes())
+
+
 def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Polyphase FIR resampling along the first axis (native C++ when built,
     scipy fallback)."""
