@@ -352,3 +352,25 @@ def test_split_train_test_script(tmp_path):
 
     total = sum(get_audio_duration(p) for p in a_tr + a_te)
     assert total == pytest.approx(3 * 2.0, abs=0.1)
+
+
+def test_resolve_default_config_label_override(tmp_path):
+    """resolve_default_config stores the labels' explicit values (what training
+    actually used) over the heuristic; heuristic applies when any label omits
+    the key."""
+    from whisperseg_tpu.data import resolve_default_config
+
+    make_dataset_dir(tmp_path)  # every label: sr 16000, spec_time_step 0.01
+    audio, labels = get_audio_and_label_paths(str(tmp_path))
+
+    cfg = resolve_default_config(audio, labels, total_spec_columns=1000)
+    assert cfg["spec_time_step"] == pytest.approx(0.01)  # label, not 0.0085
+    assert cfg["sr"] == 16000
+    assert cfg["min_frequency"] == 0
+
+    # one label drops the key -> heuristic (reference-verbatim) value again
+    lab = json.load(open(labels[0]))
+    del lab["spec_time_step"]
+    json.dump(lab, open(labels[0], "w"))
+    cfg = resolve_default_config(audio, labels, total_spec_columns=1000)
+    assert cfg["spec_time_step"] == pytest.approx(0.0085)

@@ -109,6 +109,35 @@ def determine_default_config(audio_paths: Sequence[str], label_paths: Sequence[s
     }
 
 
+def resolve_default_config(audio_paths: Sequence[str], label_paths: Sequence[str],
+                           total_spec_columns: int,
+                           ignore_cluster: bool = False) -> dict:
+    """``determine_default_config`` + label-aware override: when EVERY training
+    label explicitly specifies ``sr`` / ``min_frequency`` / ``spec_time_step``,
+    store the labels' median instead of the heuristic value.
+
+    Rationale (divergence from the reference, deliberate): at training time
+    each file is processed at its OWN label's values (``read_label`` merges the
+    derived config only for missing keys — reference datautils.py:19-42), so
+    when the labels are explicit the heuristic value is never actually used
+    for training, yet the reference stamps it into the checkpoint's
+    ``default_segmentation_config`` anyway. A user then segmenting without
+    explicit arguments runs the model at a resolution it never saw (observed:
+    a meerkat model trained at the labels' 1 ms step whose stored default said
+    6 ms, collapsing 20 calls into 2 windows-wide segments). The heuristic
+    still applies whenever any label omits a key."""
+    config = determine_default_config(audio_paths, label_paths,
+                                      total_spec_columns,
+                                      ignore_cluster=ignore_cluster)
+    labels = [read_label(p, ignore_cluster=ignore_cluster) for p in label_paths]
+    for key, cast in (("sr", int), ("min_frequency", float),
+                      ("spec_time_step", float)):
+        explicit = [lab[key] for lab in labels if key in lab]
+        if labels and len(explicit) == len(labels):
+            config[key] = cast(np.median(np.asarray(explicit, dtype=np.float64)))
+    return config
+
+
 def get_cluster_codebook(label_paths: Sequence[str], initial_cluster_codebook: dict,
                          ignore_cluster: bool = False) -> dict:
     """Sorted unique cluster names -> ids, extending an initial codebook

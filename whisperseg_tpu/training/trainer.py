@@ -35,7 +35,7 @@ from ..checkpoint import (
 from ..data import (
     DataLoader,
     VocalSegDataset,
-    determine_default_config,
+    resolve_default_config,
     get_audio_and_label_paths,
     get_cluster_codebook,
     load_data,
@@ -336,7 +336,9 @@ def run_training(args: TrainArgs) -> Optional[str]:
 
     # ---------------------------------------------------------------- data
     audio_paths, label_paths = get_audio_and_label_paths(args.train_dataset_folder)
-    default_config = determine_default_config(
+    # label-aware resolver: the stored defaults match what training actually
+    # used when the labels are explicit (see data.resolve_default_config)
+    default_config = resolve_default_config(
         audio_paths, label_paths, args.total_spec_columns,
         ignore_cluster=args.ignore_cluster,
     )
