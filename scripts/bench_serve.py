@@ -41,16 +41,22 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--max_length", type=int, default=100)
     parser.add_argument("--startup_timeout", type=int, default=600)
+    parser.add_argument("--frame_mode", type=int, default=0,
+                        help="1: benchmark the decoder-free frame-VAD "
+                             "request path (needs a --frame_head model)")
     args = parser.parse_args(argv)
 
     from whisperseg_tpu.audio.io import get_audio_duration
 
     duration = get_audio_duration(args.audio_path)
     wav_b64 = base64.b64encode(open(args.audio_path, "rb").read()).decode()
-    body = json.dumps({
+    request = {
         "audio_file_base64_string": wav_b64, "sr": args.sr,
         "num_trials": 1, "num_beams": 1, "max_length": args.max_length,
-    }).encode()
+    }
+    if args.frame_mode:
+        request["frame_mode"] = True
+    body = json.dumps(request).encode()
 
     proc = subprocess.Popen(
         [sys.executable, "-u", "-m",
@@ -143,6 +149,7 @@ def main(argv=None):
         "requests": n,
         "clients": args.clients,
         "continuous_batching": bool(args.continuous_batching),
+        "frame_mode": bool(args.frame_mode),
         "audio_duration_s": round(duration, 2),
         "latency_p50_s": round(latencies[n // 2], 3),
         "latency_p95_s": round(latencies[p95_idx], 3),
