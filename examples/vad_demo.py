@@ -60,14 +60,14 @@ def main(argv=None):
         path = os.path.join(args.dataset_root, name)
         if not os.path.isdir(path):
             continue
-        # species folders nest the actual split folders (test, test_adults, ...)
+        # species folders nest the actual split folders (test, test_adults,
+        # ...) but may also hold paired files directly; scan both — folders
+        # without paired files are skipped by the loop below.
+        species_dirs.append((name, path))
         for sub in sorted(os.listdir(path)):
             subpath = os.path.join(path, sub)
             if os.path.isdir(subpath):
                 species_dirs.append((f"{name}/{sub}", subpath))
-        if not any(os.path.isdir(os.path.join(path, s))
-                   for s in os.listdir(path)):
-            species_dirs.append((name, path))
 
     for title, folder in species_dirs:
         audio_paths, label_paths = get_audio_and_label_paths(folder)
@@ -77,7 +77,10 @@ def main(argv=None):
         for audio_path, label_path in zip(audio_paths, label_paths):
             label = read_label(label_path)
             try:
-                audio, _ = load_audio(audio_path, sr=label["sr"])
+                # labels may omit sr: load at the native rate and record it
+                # (same policy as evaluate_dataset, whisperseg_tpu/evaluate.py)
+                audio, sr = load_audio(audio_path, sr=label.get("sr", None))
+                label["sr"] = sr
             except (OSError, ValueError) as exc:  # stripped large blobs etc.
                 print(f"  {os.path.basename(audio_path)}: unreadable ({exc})")
                 continue

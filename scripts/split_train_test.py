@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from whisperseg_tpu.audio.io import save_wav  # noqa: E402
 from whisperseg_tpu.data import (  # noqa: E402
+    determine_default_config,
     get_audio_and_label_paths,
     get_cluster_codebook,
     load_data,
@@ -61,8 +62,13 @@ def main(argv=None):
     if not audio_paths:
         raise SystemExit(f"no paired audio+label files in {args.dataset_folder}")
     cluster_codebook = get_cluster_codebook(label_paths, {})
+    # labels may omit sr / spec_time_step: fill from the dataset-derived
+    # defaults, exactly as train.py does
+    default_config = determine_default_config(
+        audio_paths, label_paths, total_spec_columns=1000)
     audio_list, label_list = load_data(
-        audio_paths, label_paths, cluster_codebook, n_threads=args.n_threads)
+        audio_paths, label_paths, cluster_codebook, n_threads=args.n_threads,
+        default_config=default_config)
 
     np.random.seed(args.seed)
     (train_a, train_l), (test_a, test_l) = train_val_split(

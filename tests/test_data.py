@@ -374,3 +374,19 @@ def test_resolve_default_config_label_override(tmp_path):
     json.dump(lab, open(labels[0], "w"))
     cfg = resolve_default_config(audio, labels, total_spec_columns=1000)
     assert cfg["spec_time_step"] == pytest.approx(0.0085)
+
+
+def test_resolve_default_config_mixed_values_take_mode(tmp_path):
+    """With heterogeneous explicit values the resolver stores the MOST COMMON
+    one (a configuration some file actually trained at), never an averaged
+    value no file used."""
+    from whisperseg_tpu.data import resolve_default_config
+
+    make_dataset_dir(tmp_path, n_files=3)
+    audio, labels = get_audio_and_label_paths(str(tmp_path))
+    for lp, step in zip(labels, [0.005, 0.005, 0.001]):
+        lab = json.load(open(lp))
+        lab["spec_time_step"] = step
+        json.dump(lab, open(lp, "w"))
+    cfg = resolve_default_config(audio, labels, total_spec_columns=1000)
+    assert cfg["spec_time_step"] == pytest.approx(0.005)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+from collections import Counter
 from copy import deepcopy
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -80,17 +81,21 @@ def get_audio_and_label_paths(folder: str) -> Tuple[List[str], List[str]]:
 
 def determine_default_config(audio_paths: Sequence[str], label_paths: Sequence[str],
                              total_spec_columns: int,
-                             ignore_cluster: bool = False) -> dict:
+                             ignore_cluster: bool = False,
+                             labels: Optional[Sequence[dict]] = None) -> dict:
     """Auto-derive (sr, spec_time_step, ...) from the dataset
-    (reference datautils.py:58-93)."""
+    (reference datautils.py:58-93). ``labels``: optionally pass already-parsed
+    ``read_label`` dicts (same order as the paths) to skip re-reading them."""
     sr_list = [get_sampling_rate(p) for p in audio_paths]
     assert len(sr_list) > 0, "No valid audios were provided."
     sr = int(np.median(sr_list))
     time_delta = fft_time_delta(sr)
 
+    if labels is None:
+        labels = [read_label(p, ignore_cluster=ignore_cluster)
+                  for p in label_paths]
     onsets, offsets = [], []
-    for audio_path, label_path in zip(audio_paths, label_paths):
-        label = read_label(label_path, ignore_cluster=ignore_cluster)
+    for audio_path, label in zip(audio_paths, labels):
         dur = get_audio_duration(audio_path)
         onsets += [max(0, t - time_delta) for t in label["onset"]]
         offsets += [min(dur, t + time_delta) for t in label["offset"]]
@@ -126,15 +131,22 @@ def resolve_default_config(audio_paths: Sequence[str], label_paths: Sequence[str
     a meerkat model trained at the labels' 1 ms step whose stored default said
     6 ms, collapsing 20 calls into 2 windows-wide segments). The heuristic
     still applies whenever any label omits a key."""
+    labels = [read_label(p, ignore_cluster=ignore_cluster) for p in label_paths]
     config = determine_default_config(audio_paths, label_paths,
                                       total_spec_columns,
-                                      ignore_cluster=ignore_cluster)
-    labels = [read_label(p, ignore_cluster=ignore_cluster) for p in label_paths]
+                                      ignore_cluster=ignore_cluster,
+                                      labels=labels)
     for key, cast in (("sr", int), ("min_frequency", float),
                       ("spec_time_step", float)):
         explicit = [lab[key] for lab in labels if key in lab]
         if labels and len(explicit) == len(labels):
-            config[key] = cast(np.median(np.asarray(explicit, dtype=np.float64)))
+            # the MOST COMMON explicit value (not the median): a mixed corpus
+            # must still get a default some file actually trained at;
+            # ties break toward the median, then the smaller value
+            med = float(np.median(np.asarray(explicit, dtype=np.float64)))
+            counts = Counter(explicit)
+            best = max(counts, key=lambda v: (counts[v], -abs(v - med), -v))
+            config[key] = cast(best)
     return config
 
 
