@@ -21,7 +21,9 @@ def main(argv=None):
     parser.add_argument("--dataset_folder", required=True)
     parser.add_argument("--model_path", required=True)
     parser.add_argument("--num_trials", type=int, default=3)
-    parser.add_argument("--max_length", type=int, default=448)
+    parser.add_argument("--max_length", type=int, default=None,
+                        help="decode token budget; default = the checkpoint's "
+                             "trained budget (else 448)")
     parser.add_argument("--num_beams", type=int, default=4)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--compute_type", default="bfloat16",

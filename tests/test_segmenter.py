@@ -217,3 +217,25 @@ def test_checkpoint_bf16_storage(tmp_path):
     params2, _ = load_checkpoint(str(tmp_path / "c16"))
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.01, rtol=0.01)
+
+
+def test_segment_resolves_max_length_from_checkpoint_default():
+    """Omitted max_length resolves: checkpoint default_segmentation_config
+    (stamped by train.py --max_length) > literal 448."""
+    captured = []
+
+    def capture(clips, frontend, batch_size, max_length, *a, **k):
+        captured.append(max_length)
+        return [[] for _ in range(len(clips))]
+
+    seg = make_segmenter()
+    seg._generate_tokens = capture
+    seg.segment(np.zeros(8000, np.float32), 16000)
+    assert captured[-1] == 448  # no stamp -> reference literal
+
+    seg.default_segmentation_config["max_length"] = 24
+    seg.segment(np.zeros(8000, np.float32), 16000)
+    assert captured[-1] == 24  # checkpoint default wins
+
+    seg.segment(np.zeros(8000, np.float32), 16000, max_length=100)
+    assert captured[-1] == 100  # explicit arg wins

@@ -369,7 +369,9 @@ def test_segment_service_forwards_decode_knobs(segment_server):
     assert r.status_code == 201
     call = stub.calls[-1]
     assert call["num_beams"] == 4
-    assert call["max_length"] == 448
+    # omitted max_length forwards None: segment() resolves it to the
+    # checkpoint's trained budget (default_segmentation_config) else 448
+    assert call["max_length"] is None
     assert call["top_p"] == 1.0
     assert call["refine_boundaries_ms"] is None
     assert call["split_merged_db"] is None

@@ -67,10 +67,13 @@ def build_parser():
                         help="1: decoder-free frame-VAD segmentation "
                              "(Segmenter.segment_from_frames; needs a "
                              "--frame_head model — see RESULTS.md)")
-    parser.add_argument("--max_length", default=448, type=int,
-                        help="decode token budget (reference model.py:411 "
-                             "default 448); models finetuned at "
-                             "--max_length 100 decode ~10x faster with 100")
+    parser.add_argument("--max_length", default=None, type=int,
+                        help="decode token budget; default = the budget the "
+                             "checkpoint was trained at (stamped by train.py "
+                             "--max_length), else the reference's 448 "
+                             "(reference model.py:411). 448-token programs "
+                             "compile ~10x slower and buy nothing for models "
+                             "finetuned at 100.")
     parser.add_argument("--compute_type", default="bfloat16",
                         choices=["float32", "bfloat16", "int8", "int4"],
                         help="Inference weight precision (int8 = CT2 "

@@ -76,7 +76,7 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
 
 
 def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
-                     max_length: int = 448, num_beams: int = 4,
+                     max_length: Optional[int] = None, num_beams: int = 4,
                      batch_size: int = 8, inference_dtype: str = "bfloat16",
                      refine_boundaries_ms=None, split_merged_db=None,
                      merge_gap_ms=None, frame_mode: bool = False,

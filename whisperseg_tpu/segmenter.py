@@ -298,7 +298,8 @@ class Segmenter:
 
     def warmup(self, sr: int, spec_time_step: Optional[float] = None,
                min_frequency: Optional[float] = None, batch_size: int = 8,
-               max_length: int = 448, num_beams: int = 4, top_k: int = 1):
+               max_length: Optional[int] = None, num_beams: int = 4,
+               top_k: int = 1):
         """Pre-compile the fused segment computation for one configuration so
         the first real request doesn't pay the (minutes-scale on tunneled
         backends) compile cost. Call at service startup."""
@@ -308,6 +309,10 @@ class Segmenter:
         if min_frequency is None:
             min_frequency = self.default_segmentation_config.get(
                 "min_frequency", 0)
+        if max_length is None:
+            # compile the SAME program a default request will use
+            max_length = int(self.default_segmentation_config.get(
+                "max_length", 448))
         clip_samples = int(self.total_spec_columns * spec_time_step * sr)
         clips = np.zeros((batch_size, clip_samples), dtype=np.float32)
         frontend = Frontend(sr, spec_time_step, min_frequency)
@@ -543,7 +548,7 @@ class Segmenter:
         eps: Optional[float] = None,
         time_per_frame_for_voting: Optional[float] = None,
         consolidation_method: str = "clustering",
-        max_length: int = 448,
+        max_length: Optional[int] = None,
         batch_size: int = 4,
         num_trials: int = 1,
         num_beams: int = 4,
@@ -595,6 +600,12 @@ class Segmenter:
             eps = spec_time_step * RATIO * 4
         if time_per_frame_for_voting is None:
             time_per_frame_for_voting = spec_time_step
+        if max_length is None:
+            # train.py stamps its --max_length into the checkpoint's defaults:
+            # a model finetuned at 100 decodes with the budget it trained at
+            # (448-token programs compile ~10x slower and buy nothing there)
+            max_length = int(self.default_segmentation_config.get(
+                "max_length", 448))
 
         audio = np.asarray(audio, dtype=np.float32)
         clips, meta = self.slice_audio_windows(audio, sr, spec_time_step, num_trials)

@@ -104,7 +104,7 @@ def build_app(segmenter, batch_size: int = 8,
                         # beyond the reference's request schema (which fixes
                         # these server-side): optional decode knobs
                         num_beams=info.get("num_beams", 4),
-                        max_length=info.get("max_length", 448),
+                        max_length=info.get("max_length", None),
                         top_p=info.get("top_p", 1.0),
                         refine_boundaries_ms=info.get("refine_boundaries_ms",
                                                       None),

@@ -342,8 +342,15 @@ def run_training(args: TrainArgs) -> Optional[str]:
         audio_paths, label_paths, args.total_spec_columns,
         ignore_cluster=args.ignore_cluster,
     )
-    cfg.default_segmentation_config = default_config
-    segmenter.default_segmentation_config = dict(default_config)
+    # the STORED defaults also record the decode budget this model trains at,
+    # so segment()/evaluate/serving default to it instead of the architectural
+    # 448 (slow-compiling and pointless for short-transcript finetunes);
+    # default_config itself stays free of non-label keys — read_label merges
+    # it into every training label
+    stored_config = dict(default_config)
+    stored_config["max_length"] = int(args.max_length)
+    cfg.default_segmentation_config = stored_config
+    segmenter.default_segmentation_config = dict(stored_config)
 
     cluster_codebook = get_cluster_codebook(
         label_paths, segmenter.cluster_codebook, ignore_cluster=args.ignore_cluster
