@@ -505,3 +505,54 @@ def test_native_flac_matches_python_on_adversarial_streams():
         arr, sr_nat = nat
         assert sr_nat == sr_py
         np.testing.assert_array_equal(arr, py)
+
+
+def test_encode_flac_empty_stream_roundtrips():
+    """Zero-length PCM encodes as a header-only stream (no bogus empty frame)
+    and decodes back to zero samples."""
+    data = encode_flac(np.zeros((0, 1), np.int16), 16000)
+    info = flac_stream_info(data)
+    assert info["total_samples"] == 0
+    pcm, sr = decode_flac(data)
+    assert sr == 16000
+    assert pcm.shape[0] == 0
+
+
+def test_ogg_stream_info_granule_ignores_payload_oggs():
+    """'OggS' inside a packet payload must not be mistaken for the last page
+    header when deriving the duration."""
+    sr = 8000
+
+    def page(granule, payload, header_type=0):
+        seg = bytes([len(payload)])
+        h = (b"OggS" + bytes([0, header_type])
+             + granule.to_bytes(8, "little", signed=True)
+             + b"\x00" * 12  # serial, seqno, crc
+             + bytes([1]) + seg)
+        return h + payload
+
+    ident = b"\x01vorbis" + bytes(4) + bytes([1]) + sr.to_bytes(4, "little") \
+        + bytes(16)
+    # last REAL page: granule 16000 (2 s) — followed by a payload page whose
+    # body contains a fake 'OggS' with garbage granule bytes
+    fake_payload = b"OggS" + bytes([9, 99]) + (10 ** 15).to_bytes(8, "little") \
+        + b"\xff" * 30
+    data = page(0, ident) + page(16000, fake_payload, header_type=4)
+    info = ogg_stream_info(data)
+    assert info["sr"] == sr
+    assert info["duration"] == pytest.approx(2.0)
+
+
+def test_fit_postprocess_grid_without_zero_point():
+    """User grids that omit 0 still produce the no-op combo (raw baseline)."""
+    from whisperseg_tpu.refine import fit_postprocess
+
+    sr = 16000
+    audio = np.zeros(sr, np.float32)
+    label = {"onset": [0.2], "offset": [0.4], "cluster": ["Vocal"],
+             "sr": sr, "spec_time_step": 0.005}
+    pred = {"onset": [0.2], "offset": [0.4], "cluster": ["Vocal"]}
+    params, table = fit_postprocess(
+        [pred], [label], [audio], [sr], merge_gap_ms=(5.0,),
+        split_db=(10.0,), widths_ms=(20.0,))
+    assert "merge_0+split_0+refine_0" in table

@@ -7,7 +7,11 @@ the FLAC format specification:
 
   * ``decode_flac``  — full decoder: STREAMINFO parsing, fixed & LPC
     predictors, Rice/Rice2 residuals with partitioning and escape codes,
-    left/right/mid-side stereo decorrelation, wasted bits, CRC-checked frames.
+    left/right/mid-side stereo decorrelation, wasted bits. Frame CRC fields
+    are parsed and skipped, NOT verified (corruption surfaces as a parse
+    error or as decoded garbage, same as most fast decoders in permissive
+    mode); correctness is instead pinned by the bit-exact round-trip and
+    cross-decoder tests below.
   * ``encode_flac``  — subset encoder (fixed blocking, independent channels,
     fixed predictors order 0-2, single-partition Rice residuals) used for
     round-trip tests and for producing valid .flac files. Output is standard
@@ -394,6 +398,10 @@ def decode_flac_py(data: bytes) -> Tuple[np.ndarray, int]:
         blocks.append(block)
         total += block.shape[0]
     if not blocks:
+        if info["total_samples"] == 0:
+            # header-only stream (STREAMINFO declares zero samples) — a valid
+            # empty recording, not a corrupt file
+            return (np.zeros((0, info["channels"]), np.float32), info["sr"])
         raise ValueError("flac: no audio frames")
     pcm = np.concatenate(blocks, axis=0)
     if info["total_samples"]:
@@ -504,7 +512,10 @@ def encode_flac(pcm: np.ndarray, sr: int, blocksize: int = 4096) -> bytes:
         si.write_uint(0, 8)  # md5 unknown
     out = bytearray(head.getvalue() + si.getvalue())
 
-    for fi, start in enumerate(range(0, max(n, 1), blocksize)):
+    # n == 0 emits a header-only stream (STREAMINFO already says
+    # total_samples = 0); an "empty frame" would encode blocksize-1 = -1
+    # -> 0xFFFF and corrupt the stream
+    for fi, start in enumerate(range(0, n, blocksize)):
         block = pcm[start:start + blocksize]
         bs = block.shape[0]
         fw = BitWriter()

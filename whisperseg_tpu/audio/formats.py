@@ -165,9 +165,23 @@ def ogg_stream_info(data: bytes) -> dict:
         sr = 48000  # Opus always decodes at 48 kHz
     else:
         raise ValueError("ogg: not a Vorbis/Opus stream")
-    # duration: granule position of the last page = total PCM samples
-    last = data.rfind(b"OggS")
-    granule = int.from_bytes(data[last + 6:last + 14], "little", signed=True)
+    # Duration: granule position of the last PAGE = total PCM samples. The
+    # 4 bytes "OggS" can also occur inside compressed packet payloads, so
+    # validate each rfind candidate as a real page header (version byte 0,
+    # header-type flags <= 7, segment table within the buffer) and keep
+    # scanning backward until one checks out.
+    granule = 0
+    last = len(data)
+    while True:
+        last = data.rfind(b"OggS", 0, last)
+        if last < 0:
+            break
+        if (last + 27 <= len(data) and data[last + 4] == 0
+                and data[last + 5] <= 7
+                and last + 27 + data[last + 26] <= len(data)):
+            granule = int.from_bytes(data[last + 6:last + 14], "little",
+                                     signed=True)
+            break
     duration = granule / sr if granule > 0 else 0.0
     return {"sr": sr, "channels": channels, "duration": duration}
 
@@ -217,14 +231,23 @@ def decode_compressed(path_or_bytes, fmt: Optional[str] = None
 
         return decode_flac(data)
     if fmt in ("mp3", "ogg"):
-        info = mp3_stream_info(data) if fmt == "mp3" else ogg_stream_info(data)
         if not _sdl_available():
             raise RuntimeError(
                 f"cannot decode {fmt}: no decoder backend available "
                 f"(install pygame/SDL2_mixer, or convert to wav/flac — both "
                 f"decode natively)")
-        pcm = decode_with_sdl(data, fmt, info["sr"], info["channels"])
-        return pcm, info["sr"]
+        try:
+            info = mp3_stream_info(data) if fmt == "mp3" \
+                else ogg_stream_info(data)
+            sr, channels = info["sr"], info["channels"]
+        except ValueError:
+            # our header parser covers the common profiles (MPEG Layer II/III,
+            # Vorbis/Opus); streams it can't identify (e.g. MPEG Layer I,
+            # free-format bitrate) may still decode through SDL2_mixer — fall
+            # back to a fixed mixer rate rather than refusing a decodable file
+            sr, channels = 44100, 2
+        pcm = decode_with_sdl(data, fmt, sr, channels)
+        return pcm, sr
     raise ValueError(
         f"unsupported audio format {fmt!r}: supported are wav, flac"
         + (", mp3, ogg" if _sdl_available() else

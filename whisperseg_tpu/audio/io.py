@@ -202,9 +202,36 @@ def load_audio(
     return np.ascontiguousarray(y, dtype=np.float32), target
 
 
+def _flac_info_cheap(path: str) -> dict:
+    """STREAMINFO from the file head; full read only if the metadata section
+    (e.g. embedded artwork) exceeds the head window."""
+    from .flac import flac_stream_info
+
+    with open(path, "rb") as f:
+        head = f.read(1 << 16)
+    try:
+        return flac_stream_info(head)
+    except ValueError:
+        with open(path, "rb") as f:
+            return flac_stream_info(f.read())
+
+
 def get_sampling_rate(path: str) -> int:
     """Header-only sampling-rate probe (reference audio_utils.py:19-22),
-    covering wav/flac/mp3/ogg."""
+    covering wav/flac/mp3/ogg. Dispatches on magic bytes first so non-WAV
+    files don't pay a full-file WAV parse attempt."""
+    with open(path, "rb") as f:
+        magic = f.read(16)
+    from .formats import probe_sampling_rate, sniff_format
+
+    fmt = sniff_format(magic)
+    if fmt == "flac":
+        return _flac_info_cheap(path)["sr"]
+    if fmt in ("mp3", "ogg"):
+        # mp3 resync may need to skip an arbitrarily large ID3 tag; ogg only
+        # needs the first page — one read covers both
+        with open(path, "rb") as f:
+            return probe_sampling_rate(f.read())
     try:
         with wave.open(path, "rb") as w:
             return w.getframerate()
@@ -212,8 +239,6 @@ def get_sampling_rate(path: str) -> int:
         out = _read_wav_ieee_float(path)
         if out is not None:
             return out[1]
-        from .formats import probe_sampling_rate
-
         with open(path, "rb") as f:
             return probe_sampling_rate(f.read())
 
@@ -221,6 +246,19 @@ def get_sampling_rate(path: str) -> int:
 def get_audio_duration(path: str) -> float:
     """Header-only duration probe in seconds (reference audio_utils.py:24-30),
     covering wav/flac/mp3/ogg."""
+    with open(path, "rb") as f:
+        magic = f.read(16)
+    from .formats import probe_duration, sniff_format
+
+    fmt = sniff_format(magic)
+    if fmt == "flac":
+        info = _flac_info_cheap(path)
+        return info["total_samples"] / info["sr"] if info["sr"] else 0.0
+    if fmt in ("mp3", "ogg"):
+        # mp3 walks every frame (VBR-safe) and ogg reads the LAST page's
+        # granule — both need the full byte string
+        with open(path, "rb") as f:
+            return probe_duration(f.read())
     try:
         with wave.open(path, "rb") as w:
             return w.getnframes() / w.getframerate()
@@ -231,6 +269,4 @@ def get_audio_duration(path: str) -> float:
         if out is not None:
             y, sr = out
             return len(y) / sr
-        from .formats import probe_duration
-
         return probe_duration(data)

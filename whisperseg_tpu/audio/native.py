@@ -24,10 +24,11 @@ _lib = None
 _lib_failed = False
 
 
-def _build() -> bool:
+def _build(force: bool = False) -> bool:
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
+        cmd = ["make", "-B", "-C", _NATIVE_DIR] if force else \
+            ["make", "-C", _NATIVE_DIR]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False
@@ -49,13 +50,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "ws_decode_flac"):
-                # stale pre-FLAC build: rebuild once and reload
-                del lib
-                if _build():
-                    lib = ctypes.CDLL(_LIB_PATH)
-                else:
-                    lib = ctypes.CDLL(_LIB_PATH)  # keep WAV/resample paths
+            if not hasattr(lib, "ws_decode_flac") and _build(force=True):
+                # Stale pre-FLAC build: dlopen caches by path and ctypes never
+                # dlcloses, so re-CDLL'ing _LIB_PATH would hand back the OLD
+                # image — load the rebuilt library under a fresh path instead
+                # (unlinked immediately; the mapping stays valid on Linux).
+                import shutil
+                import tempfile
+
+                try:
+                    fd, tmp = tempfile.mkstemp(suffix=".so",
+                                               prefix="ws_audio_")
+                    os.close(fd)
+                    shutil.copy2(_LIB_PATH, tmp)
+                    fresh = ctypes.CDLL(tmp)
+                    os.unlink(tmp)
+                    if hasattr(fresh, "ws_decode_flac"):
+                        lib = fresh
+                    # else: keep the old image's WAV/resample paths
+                except OSError:
+                    pass  # keep the old image's WAV/resample paths
         except OSError:
             _lib_failed = True
             return None

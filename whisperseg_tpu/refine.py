@@ -390,6 +390,20 @@ def fit_postprocess(
     if not fit_frames:
         frame_split, frame_refine_ms, frame_filter = (0.0,), (0.0,), (0.0,)
 
+    def _with_zero(vals):
+        # every grid must span the no-op point: the tie-break prefers it, and
+        # callers (scripts/fit_postprocess.py) read the raw score from the
+        # all-zero combo — a user-supplied grid without 0 must not break that
+        vals = tuple(float(v) for v in vals)
+        return vals if 0.0 in vals else (0.0,) + vals
+
+    merge_gap_ms = _with_zero(merge_gap_ms)
+    split_db = _with_zero(split_db)
+    widths_ms = _with_zero(widths_ms)
+    frame_split = _with_zero(frame_split)
+    frame_refine_ms = _with_zero(frame_refine_ms)
+    frame_filter = _with_zero(frame_filter)
+
     best, best_key, table = None, None, {}
     for g, d, w in product(merge_gap_ms, split_db, widths_ms):
         energy = [
