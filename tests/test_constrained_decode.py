@@ -32,8 +32,10 @@ def test_grammar_mask_states():
     # mode 1 (after ts_open): digits only
     assert mask[1, 3] and not mask[1, tok.EOT_ID]
     assert not mask[1, tok.timestamp_id(9)]
-    # mode 2 (in digits): digits or ts >= open col (5)
-    assert mask[2, 7] and mask[2, tok.timestamp_id(5)]
+    # mode 2 (in digits): digits or ts STRICTLY > open col (5) — closing at
+    # the opening column would be a zero-length segment the parser drops
+    assert mask[2, 7] and mask[2, tok.timestamp_id(6)]
+    assert not mask[2, tok.timestamp_id(5)]
     assert not mask[2, tok.timestamp_id(4)] and not mask[2, tok.EOT_ID]
     # mode 3 (after ts_close): ts >= close col (7) or eot
     assert mask[3, tok.EOT_ID] and mask[3, tok.timestamp_id(7)]

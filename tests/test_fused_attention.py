@@ -155,3 +155,19 @@ def test_encoder_head_major_path_matches_standard(monkeypatch):
         hmq = np.asarray(encoder_forward(qparams, cfg, feats))
         monkeypatch.undo()
         assert np.abs(hmq - baseq).max() / np.abs(baseq).max() < 0.05, f"kv={kv}"
+
+
+def test_fused_attention_hm_rejects_group_size_over_8():
+    """MQA / extreme GQA (group > 8) exceeds the kernel's per-step VMEM
+    budget; models/whisper.py routes those to the XLA einsum path, and the
+    kernel itself must fail loudly rather than crash at trace time."""
+    import pytest
+
+    from whisperseg_tpu.ops.attention import fused_attention_hm
+
+    b, h, hkv, sp, hd = 1, 12, 1, 128, 64
+    q4 = jnp.zeros((b, h, sp, hd), jnp.float32)
+    kt4 = jnp.zeros((b, hkv, hd, sp), jnp.float32)
+    v4 = jnp.zeros((b, hkv, sp, hd), jnp.float32)
+    with pytest.raises(ValueError, match="group size"):
+        fused_attention_hm(sp, q4, kt4, v4)

@@ -81,3 +81,23 @@ def test_dft_bank_shape_and_zero_padding():
     from whisperseg_tpu.audio.frontend import periodic_hann
 
     np.testing.assert_allclose(bank[0, 0], periodic_hann(512), atol=1e-7)
+
+
+def test_melproject_pallas_odd_row_count_pads_not_tile1():
+    """A (batch x frames) count with no power-of-two tile >= 8 divisor pads
+    the rows instead of degrading to 1-sublane blocks (unsafe; see
+    ops/cross_attention.py)."""
+    fr = Frontend(32000, 0.0025, 0)
+    rng = np.random.RandomState(3)
+    b, f = 1, 13  # rows = 13: not divisible by 8
+    f_pad = ((fr.n_fft // 2 + 1 + 127) // 128) * 128
+    reim = jnp.asarray(rng.randn(b, 2 * f_pad, f).astype(np.float32))
+    out = np.asarray(melproject_pallas(
+        reim, jnp.asarray(fr.mel_filters), fr.n_fft, interpret=True))
+    assert out.shape == (b, 80, f)
+    # reference: power -> mel -> log10 in numpy
+    re = np.asarray(reim[:, :f_pad, :])
+    im = np.asarray(reim[:, f_pad:, :])
+    power = (re ** 2 + im ** 2)[:, : fr.n_fft // 2 + 1, :]
+    ref = np.log10(np.maximum(fr.mel_filters.T @ power[0], 1e-10))
+    np.testing.assert_allclose(out[0], ref, atol=2e-5)

@@ -132,3 +132,21 @@ def test_quantized_model_generates_same_transcript():
     qp = cast_float_leaves(quantize_params(params), "bfloat16")
     out_int8 = np.asarray(generate(qp, cfg, feats, max_length=32))
     assert out_f32.tolist() == out_int8.tolist()
+
+
+def test_qdot_w8a8_stacked_weights_broadcasting():
+    """mode='w8a8' with stacked [L, in, out] weights: per-row activation
+    scale must broadcast over the stacked dim (was misaligned)."""
+    import numpy as np
+
+    from whisperseg_tpu.ops.quant import qdot, quantize
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(3, 16, 8).astype(np.float32)
+    x = rng.randn(5, 16).astype(np.float32)
+    qt = quantize(w)
+    out = np.asarray(qdot(jnp.asarray(x), qt, mode="w8a8"))
+    assert out.shape == (5, 3, 8)
+    ref = np.einsum("bi,lio->blo", x, w)
+    # int8 weight + dynamic int8 activation quantization tolerance
+    np.testing.assert_allclose(out, ref, atol=0.15, rtol=0.15)

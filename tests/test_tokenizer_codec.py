@@ -106,3 +106,22 @@ def test_parse_drops_unknown_and_nonpositive():
     text = "<|0|>9<|5|><|3|>1<|3|><|4|>1<|6|>"
     segs = codec.parse_segments_from_text(text, 0.01, inv)
     assert segs == [[0.08, 0.12, "x"]]
+
+
+def test_encode_cluster_string_recorded_bpe_order_wins():
+    """cluster_encodings (the checkpoint's recorded BPE piece sequences) is
+    authoritative: greedy longest-match over the piece set can pick a
+    different partition than the checkpoint's merges produced."""
+    from whisperseg_tpu.tokenizer import DIGIT_BASE, VOCAB_SIZE, encode_cluster_string
+
+    extra = {"12": VOCAB_SIZE, "23": VOCAB_SIZE + 1}
+    # greedy longest-match-from-left: '12' then '3'
+    assert encode_cluster_string("123", extra) == [VOCAB_SIZE, DIGIT_BASE + 3]
+    # the checkpoint's BPE merged '23' first: '1' then '23'
+    enc = {"123": ["1", "23"]}
+    assert encode_cluster_string("123", extra, enc) == [
+        DIGIT_BASE + 1, VOCAB_SIZE + 1]
+    # a recorded piece without an extended row degrades to per-digit tokens
+    enc2 = {"45": ["45"]}
+    assert encode_cluster_string("45", extra, enc2) == [
+        DIGIT_BASE + 4, DIGIT_BASE + 5]

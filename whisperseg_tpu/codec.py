@@ -51,6 +51,7 @@ def build_target_ids(
     spec_time_step: float,
     total_spec_columns: int,
     extra_token_ids: Dict[str, int] = None,
+    cluster_encodings: Dict[str, list] = None,
 ) -> List[int]:
     """Full decoder sequence for one training clip: prompt + species + segments + EOT.
 
@@ -68,7 +69,8 @@ def build_target_ids(
     for onset, offset, cid in zip(onsets, offsets, cluster_ids):
         ids.append(tok.timestamp_id(time_to_col(onset, spec_time_step, total_spec_columns)))
         if extra_token_ids:
-            ids.extend(tok.encode_cluster_string(str(int(cid)), extra_token_ids))
+            ids.extend(tok.encode_cluster_string(str(int(cid)), extra_token_ids,
+                                                 cluster_encodings))
         else:
             ids.extend(cluster_digits(int(cid)))
         ids.append(tok.timestamp_id(time_to_col(offset, spec_time_step, total_spec_columns)))

@@ -363,7 +363,8 @@ class VocalSegDataset:
 
     def __init__(self, audio_list, label_list, max_length: int,
                  total_spec_columns: int, extra_token_ids: dict = None,
-                 frame_targets: bool = False, frame_sigma: float = 1.0):
+                 frame_targets: bool = False, frame_sigma: float = 1.0,
+                 cluster_encodings: dict = None):
         self.audio_list = audio_list
         self.label_list = label_list
         self.max_length = max_length
@@ -372,6 +373,10 @@ class VocalSegDataset:
         # whose BPE merged multi-digit cluster ids (models/convert_hf.py):
         # targets then use the same tokens the imported model generates
         self.extra_token_ids = extra_token_ids or None
+        # exact BPE piece sequence per cluster string from the imported
+        # checkpoint (cfg.cluster_encodings) — authoritative over greedy
+        # longest-match (tokenizer.encode_cluster_string)
+        self.cluster_encodings = cluster_encodings or None
         self.frame_targets = frame_targets
         self.frame_sigma = frame_sigma
         self._frontends: Dict[Tuple, Frontend] = {}
@@ -408,6 +413,7 @@ class VocalSegDataset:
             label.get("species", "unknown"), onset, offset, cluster_id,
             step, self.total_spec_columns,
             extra_token_ids=self.extra_token_ids,
+            cluster_encodings=self.cluster_encodings,
         )
         dec_inputs, labels = codec.shift_for_training(target, self.max_length)
 

@@ -66,14 +66,21 @@ def _grammar_mask(mode, last_col, vocab: int, n_extra: int = 0):
     is_digit = ((ids >= 0) & (ids < 10)) | (
         (ids >= tok.VOCAB_SIZE) & (ids < tok.VOCAB_SIZE + n_extra))
     is_ts = (ids >= _TS0) & (ids < _TS1)
-    is_species = (ids >= tok.SPECIES_BASE) & (ids < tok.SPECIES_BASE + 7)
+    is_species = (ids >= tok.SPECIES_BASE) & (
+        ids < tok.SPECIES_BASE + len(tok.SPECIES_TOKEN_IDS))
     is_eot = ids == tok.EOT_ID
 
     ts_geq = is_ts & (ids[None, :] >= (_TS0 + last_col)[:, None])  # [B, V]
+    # closing a span needs a STRICTLY later column: onset == offset would be
+    # a zero-length segment the parser drops (codec.parse_segments_from_ids
+    # requires offset - onset > 0) — the silent garbage this mask exists to
+    # rule out. Re-opening after a close (mode 3) keeps >=: abutting segments
+    # are legal and the reference merges them (model.py:240-248).
+    ts_gt = is_ts & (ids[None, :] > (_TS0 + last_col)[:, None])    # [B, V]
 
     m0 = (is_species | is_ts | is_eot)[None, :]
     m1 = is_digit[None, :]
-    m2 = is_digit[None, :] | ts_geq
+    m2 = is_digit[None, :] | ts_gt
     m3 = is_eot[None, :] | ts_geq
 
     mode = mode[:, None]

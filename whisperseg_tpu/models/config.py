@@ -58,6 +58,12 @@ class WhisperConfig:
     # cluster BPE pieces of an imported HF checkpoint ('12', '17', ...). Empty
     # for natively trained models. vocab_size covers them (128-padded).
     extra_tokens: list = field(default_factory=list)
+    # Exact BPE piece sequence per multi-digit cluster-id string, as the
+    # imported HF checkpoint's own tokenizer produced it (e.g. {"123":
+    # ["1", "23"]}). Greedy longest-match over the piece SET cannot
+    # reconstruct merge order, so the import records the sequences; empty for
+    # natively trained models (host-side metadata, not in the arch key).
+    cluster_encodings: Dict[str, list] = field(default_factory=dict)
     cluster_codebook: Dict[str, int] = field(default_factory=dict)
     default_segmentation_config: Dict[str, Any] = field(default_factory=dict)
     current_step: int = 0

@@ -113,26 +113,35 @@ def bpe_encode_digits(digits: str, merge_ranks: Dict[tuple, int]):
     return word
 
 
-def derive_extra_tokens(tokenizer_dir: str, cluster_int_ids) -> Dict[str, int]:
-    """Multi-digit BPE pieces (piece -> hf id) needed to represent the given
-    cluster integer ids the way the checkpoint's own tokenizer does.
+def derive_extra_tokens(tokenizer_dir: str, cluster_int_ids):
+    """Multi-digit BPE pieces needed to represent the given cluster integer
+    ids the way the checkpoint's own tokenizer does.
 
     The reference embeds the integer cluster id in the transcript text
     (reference datautils.py:359-368); its BPE merges '12' into one token, so an
     imported finetune *generates* that single token. Each such piece gets an
-    extended row in our vocabulary (ids >= tokenizer.VOCAB_SIZE)."""
+    extended row in our vocabulary (ids >= tokenizer.VOCAB_SIZE).
+
+    Returns ``(extras, encodings)``: ``extras`` maps piece -> hf id;
+    ``encodings`` maps each multi-digit cluster string to its exact BPE piece
+    sequence (merge ORDER matters — a greedy match over the piece set can
+    pick a different partition, e.g. '123' -> ['12','3'] where BPE produced
+    ['1','23']), persisted as ``cfg.cluster_encodings`` so label encoding
+    reproduces the checkpoint's own tokenization."""
     vocab = _load_hf_vocab(tokenizer_dir)
     ranks = _load_merge_ranks(tokenizer_dir)
     extras: Dict[str, int] = {}
+    encodings: Dict[str, list] = {}
     for cid in sorted({int(c) for c in cluster_int_ids}):
         s = str(cid)
         if len(s) < 2:
             continue
         pieces = [s] if s in vocab and not ranks else bpe_encode_digits(s, ranks)
+        encodings[s] = list(pieces)
         for piece in pieces:
             if len(piece) > 1 and piece in vocab and piece not in extras:
                 extras[piece] = vocab[piece]
-    return extras
+    return extras, encodings
 
 
 def build_token_map(tokenizer_dir: str,
@@ -313,8 +322,10 @@ def import_hf_checkpoint(model_dir: str,
     sd = load_hf_state_dict(model_dir)
     token_map = None
     try:
-        extras = derive_extra_tokens(model_dir, cfg.cluster_codebook.values())
+        extras, encodings = derive_extra_tokens(
+            model_dir, cfg.cluster_codebook.values())
         cfg.extra_tokens = list(extras.keys())
+        cfg.cluster_encodings = encodings
         if cfg.extra_tokens:
             # extended rows live right after the compact vocab; pad the row
             # count to the next multiple of 128 (one MXU lane tile)

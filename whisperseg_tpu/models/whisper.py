@@ -362,7 +362,11 @@ def encoder_forward(
     # influence valid keys; they are sliced off at the end.
     from ..ops.attention import fused_attention_hm, fused_available
 
-    use_hm = fused_available(s, head_dim, False)
+    # the head-major kernel unrolls one whole kv-group per grid step, so it
+    # needs group size <= 8 (its VMEM budget); MQA/extreme-GQA on wide models
+    # (e.g. num_kv_heads=1 at 12+ heads) takes the XLA einsum path instead
+    use_hm = (fused_available(s, head_dim, False)
+              and num_heads // max(kv_heads, 1) <= 8)
     sp = -(-s // 128) * 128
     if use_hm and sp != s:
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))

@@ -55,7 +55,7 @@ def fused_encoder_attention(q, k, v, interpret: bool = False):
     """Non-causal self-attention, one fused kernel, no HBM score tensor.
 
     q: [B, S, H, hd]; k, v: [B, S, Hkv, hd] with H % Hkv == 0 (GQA when
-    Hkv < H). Returns [B, S, H*hd] float32.
+    Hkv < H).
 
     Grid: (batch, kv-head chunks). Chunk sizing balances two measured
     failure modes at whisper-large batch 48: one step per (batch, head) is
@@ -108,6 +108,11 @@ def fused_attention_head_major(valid_len: int, q4, kt4, v4,
     # unrolled q-head loop (and its [Sp, Sp] f32 temporaries) inside the
     # 16 MB scoped VMEM (one step per head was overhead-bound; one step per
     # batch item overflowed)
+    if g > 8:
+        raise ValueError(
+            f"fused_attention_hm: GQA group size {g} exceeds the kernel's "
+            f"8-head-per-step VMEM budget; use the XLA einsum path "
+            f"(models/whisper.py gates on this)")
     gc = max(d for d in range(1, hkv + 1) if hkv % d == 0 and d * g <= 8)
     hc = gc * g  # query heads per grid step
 

@@ -78,6 +78,7 @@ def melproject_pallas(reim, mel, n_fft: int, interpret: bool = False):
     f_pad = two_f_pad // 2
     n_freq, n_mel = mel.shape  # static shape info, works on tracers
 
+    assert n_mel <= 128, f"mel bins {n_mel} exceed the kernel's 128-lane tile"
     mel_p = jnp.zeros((f_pad, 128), jnp.float32)
     mel_p = mel_p.at[:n_freq, :n_mel].set(mel.astype(jnp.float32))
 
@@ -87,8 +88,15 @@ def melproject_pallas(reim, mel, n_fft: int, interpret: bool = False):
     tile = 256
     while rows % tile != 0 and tile > 8:
         tile //= 2
+    rows_p = rows
     if rows % tile != 0:
-        tile = 1
+        # No power-of-two tile >= 8 divides the row count: pad rows up to a
+        # multiple of 8 instead of degrading to tile=1 — sub-8-sublane blocks
+        # are unsafe on this hardware (ops/cross_attention.py) and a
+        # one-row-per-program grid is overhead-bound.
+        tile = 8
+        rows_p = -(-rows // tile) * tile
+        x = jnp.pad(x, ((0, rows_p - rows), (0, 0)))
 
     def kernel(x_ref, mel_ref, out_ref):
         f32 = jnp.float32
@@ -104,7 +112,7 @@ def melproject_pallas(reim, mel, n_fft: int, interpret: bool = False):
 
     out = pl.pallas_call(
         kernel,
-        grid=(rows // tile,),
+        grid=(rows_p // tile,),
         in_specs=[
             pl.BlockSpec((tile, two_f_pad), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -113,8 +121,8 @@ def melproject_pallas(reim, mel, n_fft: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((tile, 128), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows_p, 128), jnp.float32),
         interpret=interpret,
     )(x, mel_p)
 
-    return out.reshape(b, f, 128)[:, :, :80].transpose(0, 2, 1)
+    return out[:rows].reshape(b, f, 128)[:, :, :n_mel].transpose(0, 2, 1)

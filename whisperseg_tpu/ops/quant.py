@@ -91,8 +91,9 @@ class Quant4Tensor:
         return cls(*children)
 
 
-def quantize(w, axis: int = -1) -> QuantTensor:
-    """Symmetric per-channel int8 quantization along ``axis`` (the output dim)."""
+def quantize(w) -> QuantTensor:
+    """Symmetric per-output-channel int8 quantization: amax reduced over the
+    ``in`` dim (axis -2), one scale per output column."""
     w = jnp.asarray(w, jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)  # reduce the `in` dim
     scale = amax / 127.0
@@ -214,9 +215,13 @@ def qdot(x, qt, mode: str = "w8a16"):
             xq.astype(jnp.float32), qt.values.astype(jnp.float32),
             dimension_numbers=dims, preferred_element_type=jnp.float32,
         )
-    # scale shape [..., 1, out] -> broadcast over the row dims
+    # acc shape = x.shape[:-1] + w_stack + (out,): align row_scale (per-row of
+    # x) by appending one axis per stacked-weight dim plus the out dim, and
+    # weight scale ([..., 1, out] -> w_stack + (out,)) against the tail
+    extra = qt.values.ndim - 2  # leading stacked dims of the weight
+    rs = row_scale.reshape(row_scale.shape[:-1] + (1,) * (extra + 1))
     scale = jnp.squeeze(qt.scale, axis=-2)
-    return acc.astype(jnp.float32) * row_scale * scale
+    return acc.astype(jnp.float32) * rs * scale
 
 
 def _pick_out_tile(out: int):

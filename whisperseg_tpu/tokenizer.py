@@ -157,12 +157,28 @@ def extended_digits(token_id: int, extra_tokens: Sequence[str]) -> str:
     return ""
 
 
-def encode_cluster_string(digits: str, extra_token_ids: Dict[str, int]) -> List[int]:
-    """Encode a cluster-id digit string into token ids, preferring extended
-    (multi-digit) tokens via greedy longest-match-from-left — the same result
-    byte-pair merges produce for the pieces we imported. Falls back to
-    per-digit tokens ('12' -> [1, 2]) when no extended piece matches, which is
-    the native compact-vocabulary encoding."""
+def encode_cluster_string(digits: str, extra_token_ids: Dict[str, int],
+                          cluster_encodings: Dict[str, list] = None
+                          ) -> List[int]:
+    """Encode a cluster-id digit string into token ids.
+
+    ``cluster_encodings`` (checkpoint's recorded per-cluster BPE piece
+    sequences, models/convert_hf.derive_extra_tokens) is authoritative when it
+    covers ``digits`` — greedy longest-match over the piece SET cannot
+    reconstruct merge order (e.g. pieces {'12','23'}: greedy gives '123' ->
+    ['12','3'] where the checkpoint's BPE produced ['1','23']). Otherwise:
+    greedy longest-match over the extended pieces, falling back to per-digit
+    tokens ('12' -> [1, 2]) — the native compact-vocabulary encoding."""
+    if cluster_encodings and digits in cluster_encodings:
+        ids = []
+        for piece in cluster_encodings[digits]:
+            if len(piece) == 1:
+                ids.append(DIGIT_BASE + (ord(piece) - ord("0")))
+            elif piece in extra_token_ids:
+                ids.append(extra_token_ids[piece])
+            else:  # recorded piece missing its extended row: per-digit
+                ids.extend(DIGIT_BASE + (ord(c) - ord("0")) for c in piece)
+        return ids
     ids: List[int] = []
     i = 0
     n = len(digits)

@@ -418,6 +418,8 @@ def run_training(args: TrainArgs) -> Optional[str]:
     dataset = VocalSegDataset(audio_list, label_list, args.max_length,
                               args.total_spec_columns,
                               extra_token_ids=extra_token_ids,
+                              cluster_encodings=getattr(
+                                  cfg, "cluster_encodings", None) or None,
                               frame_targets=args.frame_head,
                               frame_sigma=args.frame_label_sigma)
     loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True,
