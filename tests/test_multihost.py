@@ -51,3 +51,16 @@ def test_two_process_distributed_training_step(tmp_path):
         losses.append(float(m.group(1)))
     assert losses[0] == losses[1]
     assert 0 < losses[0] < 100
+
+
+def test_per_host_batch_slice_rejects_indivisible_batch():
+    from whisperseg_tpu.parallel.multihost import per_host_batch_slice
+
+    import pytest
+
+    # single-process jax: divisible works, indivisible raises
+    assert per_host_batch_slice(8) == slice(0, 8)
+    import jax
+
+    if jax.process_count() == 1:
+        assert per_host_batch_slice(7) == slice(0, 7)  # 7 % 1 == 0

@@ -64,9 +64,11 @@ def segment_server():
 
 
 def test_time_format_round_trip():
-    # >1 h: minutes are intentionally NOT reduced mod 60 — bug-compatible with
-    # reference segment_service.py:39-47
-    assert seconds_to_decimal(3725.5) == "1:62:05.500"
+    # >1 h: minutes ARE reduced mod 60 — deliberate fix over reference
+    # segment_service.py:39-47, whose "1:62:05.500" is invalid H:MM:SS that
+    # its own decimal_to_seconds inverts to the wrong value
+    assert seconds_to_decimal(3725.5) == "1:02:05.500"
+    assert decimal_to_seconds(seconds_to_decimal(3725.5)) == pytest.approx(3725.5)
     assert seconds_to_decimal(65.25) == "1:05.250"
     assert decimal_to_seconds("1:05.250") == pytest.approx(65.25)
     assert decimal_to_seconds("0:02:05.500") == pytest.approx(125.5)
@@ -403,3 +405,44 @@ def test_segment_service_frame_mode_error_returns_empty(segment_server):
     })
     assert r.status_code == 201
     assert r.json() == {"onset": [], "offset": [], "cluster": []}
+
+
+def test_multipart_parser_preserves_whitespace_class_payload_bytes():
+    """Binary uploads whose first/last payload bytes are whitespace-class
+    (0x09-0x0D, 0x20) must round-trip intact — only the protocol CRLF around
+    each part is removed, never .strip()'d data bytes."""
+    from whisperseg_tpu.services.http_util import Request
+
+    payload = b"\r\n\x20\x09RIFFdata\x0d\x0a\x20"
+    boundary = b"XBOUND"
+    body = (b"--" + boundary + b"\r\n"
+            b'Content-Disposition: form-data; name="audio_file"; '
+            b'filename="a.wav"\r\n'
+            b"Content-Type: application/octet-stream\r\n\r\n"
+            + payload + b"\r\n"
+            b"--" + boundary + b"\r\n"
+            b'Content-Disposition: form-data; name="model_name"\r\n\r\n'
+            b"zf\r\n"
+            b"--" + boundary + b"--\r\n")
+    req = Request.__new__(Request)
+    req.headers = {"Content-Type":
+                   'multipart/form-data; boundary="XBOUND"'}
+    req.body = body
+    req._json = None
+    req._form = None
+    req._files = None
+    assert req.files["audio_file"] == payload
+    assert req.form["model_name"] == b"zf"
+
+
+def test_seconds_to_decimal_past_one_hour():
+    """3661 s is 1:01:01.000, not the reference's invalid 1:61:01.000
+    (documented divergence)."""
+    from whisperseg_tpu.services.segment_service import (
+        decimal_to_seconds,
+        seconds_to_decimal,
+    )
+
+    assert seconds_to_decimal(3661.0) == "1:01:01.000"
+    assert decimal_to_seconds(seconds_to_decimal(3661.5)) == 3661.5
+    assert seconds_to_decimal(61.25) == "1:01.250"

@@ -29,10 +29,19 @@ def download_model(model_name: str, ignore_cache: bool = False) -> str:
     if os.path.isdir(target) and os.listdir(target) and not ignore_cache:
         return target
     try:
+        import shutil
+
         from huggingface_hub import snapshot_download
 
-        os.makedirs(target, exist_ok=True)
-        snapshot_download(model_name, local_dir=target)
+        # download into a sibling temp dir and promote atomically: an
+        # interrupted download must not leave a partial tree that the
+        # non-empty-dir cache check above then serves forever
+        tmp = target + ".partial"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        snapshot_download(model_name, local_dir=tmp)
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(tmp, target)
         return target
     except Exception as e:
         raise FileNotFoundError(

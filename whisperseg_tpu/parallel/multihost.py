@@ -51,5 +51,10 @@ def per_host_batch_slice(global_batch: int) -> slice:
 
     n = jax.process_count()
     idx = jax.process_index()
+    if global_batch % n:
+        raise ValueError(
+            f"global_batch={global_batch} is not divisible by the "
+            f"{n} participating hosts — the tail samples would silently "
+            f"never be fed; pad or trim the batch to a multiple of {n}")
     per = global_batch // n
     return slice(idx * per, (idx + 1) * per)

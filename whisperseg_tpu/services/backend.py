@@ -102,9 +102,14 @@ class BackendState:
                 "status": "ready",
             })
         queued_names = [i["model_name"] for i in self.training_request_queue]
+        def _ctime(p):
+            try:
+                return p.stat().st_ctime
+            except OSError:  # e.g. the queue journal's .tmp mid-os.replace
+                return float("inf")
+
         candi = [os.path.basename(str(p)) for p in
-                 sorted(Path(self.model_base_folder).glob("*"),
-                        key=lambda x: x.stat().st_ctime)]
+                 sorted(Path(self.model_base_folder).glob("*"), key=_ctime)]
         for name in candi:
             folder = os.path.join(self.model_base_folder, name)
             if not os.path.isdir(folder) or name in queued_names:
@@ -140,7 +145,16 @@ class BackendState:
 
     def periodic_list_models(self):
         while True:
-            self.model_information["all_models"] = self.list_models()
+            # Never let a transient FS race kill the refresher: list_models
+            # stats a glob of model_base_folder, where the queue journal's
+            # .tmp file is created and os.replace()d away — a stat in that
+            # window raises FileNotFoundError, and an unguarded daemon dies
+            # silently, freezing /list-* output for the process lifetime.
+            try:
+                self.model_information["all_models"] = self.list_models()
+            except Exception as e:
+                print(f"list_models refresh failed (retrying): "
+                      f"{type(e).__name__}: {e}")
             time.sleep(1)
 
     # ---------------------------------------------------------- segmenters
@@ -170,10 +184,10 @@ class BackendState:
         while True:
             if self.training_request_queue:
                 print("Start training ...")
-                with self.queue_lock:
-                    self.training_request_queue[0]["status"] = "training"
-                    self._save_queue_journal()
                 try:
+                    with self.queue_lock:
+                        self.training_request_queue[0]["status"] = "training"
+                        self._save_queue_journal()
                     req = self.training_request_queue[0]
                     initial_model_path = None
                     for item in self.list_models():
@@ -336,7 +350,7 @@ def build_app(state: BackendState) -> JsonHTTPServer:
 
                 segmenter = state.get_segmenter(model_name, model_path)
                 audio, sr = load_audio(
-                    io.BytesIO(req.files["audio_file"].lstrip()), mono=False,
+                    io.BytesIO(req.files["audio_file"]), mono=False,
                     channel_id=channel_id,
                 )
                 if audio.ndim == 2:

@@ -63,10 +63,15 @@ class BatchingSegmenter(Segmenter):
                          num_beams, top_k, length_penalty, seed,
                          status_monitor, constrained=False, int8_kv=False,
                          top_p=1.0):
+        # seed participates in the grouping key: the worker decodes a fused
+        # group with the HEAD item's seed, so two sampled requests with
+        # different explicit seeds must not share a batch (greedy requests —
+        # top_k == 1 and top_p == 1 — ignore the seed and may still fuse)
+        sampled = top_k > 1 or float(top_p) < 1.0
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
                frontend.max_frequency, clips.shape[1], max_length, num_beams,
                top_k, float(length_penalty), constrained, int8_kv,
-               float(top_p))
+               float(top_p), seed if sampled else 0)
         item = _WorkItem(np.asarray(clips, np.float32), key, frontend,
                          max_length, num_beams, top_k, float(length_penalty),
                          seed, constrained, int8_kv, float(top_p))

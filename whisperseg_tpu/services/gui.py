@@ -112,8 +112,13 @@ async function refreshModels() {
     const all = await (await fetch(api("/list-all-models"),
                                    {method: "POST"})).json();
     const fill = (id, rows) => {
-      document.getElementById(id).innerHTML =
-        rows.map(m => `<option>${m.model_name}</option>`).join("");
+      // preserve the user's selection across the 5 s refresh — rewriting
+      // innerHTML otherwise snaps the select back to the first entry while
+      // they are still filling the form
+      const el = document.getElementById(id);
+      const prev = el.value;
+      el.innerHTML = rows.map(m => `<option>${m.model_name}</option>`).join("");
+      if (rows.some(m => m.model_name === prev)) el.value = prev;
     };
     fill("segment-model", inf.response);
     fill("initial-model", ft.response);
@@ -172,7 +177,10 @@ document.getElementById("run-finetune").onclick = async () => {
   fd.append("model_name", document.getElementById("new-model-name").value);
   fd.append("initial_model_name", document.getElementById("initial-model").value);
   fd.append("num_epochs", document.getElementById("num-epochs").value);
-  if (document.getElementById("train-frame-head").checked) fd.append("frame_head", "1");
+  // always send the field: the backend defaults a MISSING frame_head to 1,
+  // so omitting it when unchecked would silently re-enable the head
+  fd.append("frame_head",
+            document.getElementById("train-frame-head").checked ? "1" : "0");
   const r = await fetch(api("/submit-training-request"), {method: "POST", body: fd});
   const body = await r.json();
   status.innerHTML = r.ok

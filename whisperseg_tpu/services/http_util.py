@@ -48,7 +48,19 @@ class Request:
             return
         boundary = m.group(1).encode()
         for part in self.body.split(b"--" + boundary):
-            part = part.strip()
+            # Remove exactly the ONE leading CRLF that follows the boundary
+            # line and the ONE trailing CRLF that precedes the next boundary.
+            # NEVER .strip() here: a binary payload (WAV/FLAC/zip) whose real
+            # first/last bytes are whitespace-class (0x09-0x0D, 0x20) would
+            # lose data bytes, truncating the upload intermittently.
+            if part.startswith(b"\r\n"):
+                part = part[2:]
+            elif part.startswith(b"\n"):
+                part = part[1:]
+            if part.endswith(b"\r\n"):
+                part = part[:-2]
+            elif part.endswith(b"\n"):
+                part = part[:-1]
             if not part or part == b"--":
                 continue
             if b"\r\n\r\n" in part:

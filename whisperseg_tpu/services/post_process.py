@@ -86,7 +86,12 @@ def convert_continuous_e_ts_to_e_tw(rows: List[dict]) -> List[dict]:
 
 
 def clean_e_tw_follows(rows: List[dict]) -> List[dict]:
-    """(reference post_process_predictions.py:56-81)"""
+    """(reference post_process_predictions.py:56-81)
+
+    NOTE: ``is_checking`` starts at 3 BEFORE any e_tw is seen, so up to three
+    adjacent leading segments can be removed with no preceding twitter phrase.
+    That is the reference's exact behavior (its line 58) and this port is
+    oracle-tested against it — kept bug-compatible on purpose."""
     remove = set()
     is_checking = 3
     current_tw = None

@@ -33,8 +33,11 @@ def decimal_to_seconds(decimal_time: str) -> float:
 
 
 def seconds_to_decimal(seconds: float) -> str:
+    # Deliberate fix over the reference (segment_service.py:39-47), which
+    # omits the % 3600 and prints 3661 s as "1:61:01.000" — invalid H:MM:SS
+    # that its own decimal_to_seconds inverts to 7261 s.
     hours = int(seconds // 3600)
-    minutes = int(seconds // 60)
+    minutes = int(seconds % 3600 // 60)
     seconds = seconds % 60
     if hours > 0:
         return "%d:%02d:%06.3f" % (hours, minutes, seconds)
@@ -158,13 +161,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.continuous_batching:
-        from ..checkpoint import load_checkpoint
         from .batching import BatchingSegmenter
 
-        params, config = load_checkpoint(args.model_path)
-        segmenter = BatchingSegmenter(params, config,
-                                      inference_dtype=args.compute_type,
-                                      max_batch_size=args.batch_size)
+        # from_pretrained resolves everything the plain path does (our
+        # checkpoint dirs, reference-style HF checkpoints, hub names) —
+        # loading params.npz directly here broke HF/hub model paths under
+        # --continuous_batching only
+        segmenter = BatchingSegmenter.from_pretrained(
+            args.model_path, inference_dtype=args.compute_type)
+        segmenter.max_batch_size = args.batch_size
         app = build_app(segmenter, args.batch_size, serialize=False)
     else:
         segmenter = Segmenter.from_pretrained(
