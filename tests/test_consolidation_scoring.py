@@ -139,3 +139,14 @@ def test_frame_score_cluster_mismatch():
     label = {"onset": [0.0], "offset": [1.0], "cluster": ["b"]}
     tp, *_ = frame_score(pred, label, time_per_frame_for_scoring=0.1)
     assert tp == 0
+
+
+def test_frame_score_absent_target_cluster_is_zero_not_keyerror():
+    """A file containing the target cluster in neither prediction nor label
+    contributes zeros (graceful superset of the reference, which raises)."""
+    from whisperseg_tpu.scoring import frame_score
+
+    pred = {"onset": [0.1], "offset": [0.2], "cluster": ["a"]}
+    label = {"onset": [0.1], "offset": [0.2], "cluster": ["a"]}
+    tp, p_pred, p_label, *_ = frame_score(pred, label, target_cluster="X")
+    assert (tp, p_pred, p_label) == (0, 0, 0)

@@ -239,3 +239,23 @@ def test_segment_resolves_max_length_from_checkpoint_default():
 
     seg.segment(np.zeros(8000, np.float32), 16000, max_length=100)
     assert captured[-1] == 100  # explicit arg wins
+
+
+def test_final_dedup_catches_nonadjacent_duplicates():
+    """Post-processing re-dedup sorts on the full tuple: a same-onset row
+    with a different offset must not shield an exact duplicate."""
+    seg = make_segmenter(total_spec_columns=64)
+    # stub generator emitting three spans: two identical + one same-onset
+    # different-offset, all within one window
+    on, off = tok.timestamp_id(4), tok.timestamp_id(12)
+    off2 = tok.timestamp_id(8)
+    digits = [0]
+    tokens = ([on] + digits + [off] + [on] + digits + [off2]
+              + [on] + digits + [off])
+    StubGen(seg, [list(tok.PROMPT_IDS) + [tok.species_token("unknown")]
+                  + tokens + [tok.EOT_ID]])
+    out = seg.segment(np.zeros(int(64 * 0.0025 * 32000), np.float32), 32000,
+                      num_trials=1, min_segment_length=0.0)
+    rows = list(zip(out["onset"], out["offset"], out["cluster"]))
+    assert len(rows) == 2, rows  # the exact duplicate removed, both spans kept
+    assert len(rows) == len(set(rows)), rows

@@ -63,11 +63,10 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
         fr_pred += p_pred
         fr_label += p_label
 
+    from .scoring import _prf
+
     def prf(tp, pred, label):
-        precision = tp / max(pred, 1e-12)
-        recall = tp / max(label, 1e-12)
-        f1 = 2 / (1 / max(precision, 1e-12) + 1 / max(recall, 1e-12))
-        return [tp, pred, label, precision, recall, f1]
+        return [tp, pred, label, *_prf(tp, pred, label)]
 
     return {
         "segment_wise": prf(seg_tp, seg_pred, seg_label),

@@ -79,7 +79,12 @@ def frame_score(
     label_clusters = list(map(str, label["cluster"]))
 
     mapper: Dict[str, int] = {}
-    for c in pred_clusters + label_clusters:
+    # target_cluster always gets an id, even when neither side of a file
+    # contains it — that file then contributes zeros instead of a KeyError
+    # aborting the whole corpus evaluation (the reference crashes here,
+    # model.py:544; graceful superset)
+    extra = [] if target_cluster is None else [str(target_cluster)]
+    for c in pred_clusters + label_clusters + extra:
         if c not in mapper:
             mapper[c] = len(mapper)
 

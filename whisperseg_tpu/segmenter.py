@@ -686,8 +686,11 @@ class Segmenter:
         # (which ran pre-post-processing) could not see.
         if final["onset"]:
             clean = []
+            # full-tuple sort: with an onset-only key, a same-onset row with
+            # a different offset can sit BETWEEN two identical rows and the
+            # adjacent-only comparison would miss the duplicate
             for row in sorted(zip(final["onset"], final["offset"],
-                                  final["cluster"]), key=lambda x: x[0]):
+                                  final["cluster"])):
                 if not clean or row != clean[-1]:
                     clean.append(row)
             final["onset"] = [c[0] for c in clean]

@@ -310,6 +310,16 @@ def run_training(args: TrainArgs) -> Optional[str]:
     from ..parallel.mesh import make_mesh, shard_params
 
     np.random.seed(args.seed)
+    from ..tokenizer import NUM_TIMESTAMPS
+
+    if args.total_spec_columns > NUM_TIMESTAMPS - 1:
+        # fail at config time with a clear message: the compact vocabulary has
+        # timestamp tokens <|0|>..<|1000|>, so a larger grid would crash much
+        # later inside a DataLoader worker ("timestamp column out of range")
+        raise ValueError(
+            f"--total_spec_columns {args.total_spec_columns} exceeds the "
+            f"timestamp vocabulary ({NUM_TIMESTAMPS - 1} columns max); the "
+            f"model input geometry is fixed at <= 1000 spectrogram columns")
     if args.val_ratio == 0.0:
         args.validate_every = None
         args.validate_per_epoch = False
@@ -330,7 +340,10 @@ def run_training(args: TrainArgs) -> Optional[str]:
               f"max_target_positions {cfg.max_target_positions}; clamping.")
         args.max_length = cfg.max_target_positions
 
-    segmenter = Segmenter(params, cfg)
+    # inference_dtype=None: validation runs on the LIVE f32 training params
+    # (reassigned below) — the default would build a bf16 weight copy that is
+    # immediately discarded, costing ~1.2 GB HBM headroom on whisper-large
+    segmenter = Segmenter(params, cfg, inference_dtype=None)
     if args.clear_cluster_codebook:
         segmenter.update_cluster_codebook({})
 
@@ -511,6 +524,15 @@ def run_training(args: TrainArgs) -> Optional[str]:
         for count, batch in enumerate(loader):
             rng, sub = jax.random.split(rng)
             if multi_device:
+                # the drop_last=False fallback loader (tiny datasets) can
+                # emit a tail batch not divisible by dp — pad it by wrapping
+                # samples (slight duplicate weighting beats a sharding
+                # ValueError; full batches are untouched)
+                b = len(jax.tree.leaves(batch)[0])
+                if b % dp:
+                    pad = dp - b % dp
+                    batch = jax.tree.map(
+                        lambda v: np.concatenate([v, v[:pad]]), batch)
                 batch_dev = jax.tree.map(
                     lambda v: jax.device_put(jnp.asarray(v), batch_shd), batch)
             else:
@@ -518,7 +540,10 @@ def run_training(args: TrainArgs) -> Optional[str]:
             if args.profile_dir and current_step == 10:
                 jax.profiler.start_trace(args.profile_dir)
             params, opt_state, loss = train_step(params, opt_state, batch_dev, sub)
-            loss_window.append(float(loss))
+            # keep the DEVICE scalar: float(loss) here would sync the host
+            # every step, serializing dispatch in dispatch-latency-bound
+            # environments (DEVNOTES); materialized at print_every below
+            loss_window.append(loss)
             if args.profile_dir and current_step == 14:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
@@ -540,7 +565,7 @@ def run_training(args: TrainArgs) -> Optional[str]:
 
             if current_step % args.print_every == 0:
                 lr_now = float(schedule(current_step))
-                mean_loss = float(np.mean(loss_window))
+                mean_loss = float(np.mean([np.asarray(x) for x in loss_window]))
                 print(f"Epoch: {epoch}, current_step: {current_step}, "
                       f"learning rate: {lr_now:.8f}, Loss: {mean_loss:.4f}")
                 log_metrics({"current_step": current_step, "epoch": epoch,
