@@ -390,3 +390,41 @@ def test_resolve_default_config_mixed_values_take_mode(tmp_path):
         json.dump(lab, open(lp, "w"))
     cfg = resolve_default_config(audio, labels, total_spec_columns=1000)
     assert cfg["spec_time_step"] == pytest.approx(0.005)
+
+
+def test_dataloader_reproducible_across_worker_counts(tmp_path):
+    """Seeded epochs produce identical batches for any num_workers: per-item
+    crop RNGs are drawn from the global stream in deterministic order before
+    dispatch, not inside concurrently scheduled __getitem__ calls."""
+    from whisperseg_tpu.data import DataLoader, VocalSegDataset, load_data, \
+        slice_audios_and_labels
+
+    make_dataset_dir(tmp_path, n_files=3)
+    aps, lps = get_audio_and_label_paths(str(tmp_path))
+    cb = get_cluster_codebook(lps, {})
+    al, ll = load_data(aps, lps, cb, n_threads=2,
+                       default_config={"sr": 16000, "spec_time_step": 0.01,
+                                       "min_frequency": 0})
+    al, ll = slice_audios_and_labels(al, ll, 100)
+    ds = VocalSegDataset(al, ll, max_length=40, total_spec_columns=100)
+
+    def epoch(workers):
+        np.random.seed(7)
+        loader = DataLoader(ds, 2, shuffle=True, drop_last=True,
+                            num_workers=workers)
+        return [np.asarray(b["decoder_input_ids"]).tolist() for b in loader]
+
+    assert epoch(1) == epoch(4)
+
+
+def test_load_data_surfaces_failing_file(tmp_path):
+    """A corrupt file fails with an error naming it, not a NoneType crash."""
+    make_dataset_dir(tmp_path, n_files=2)
+    bad = tmp_path / "f1.wav"
+    bad.write_bytes(b"not a wav at all")
+    aps, lps = get_audio_and_label_paths(str(tmp_path))
+    cb = get_cluster_codebook(lps, {})
+    with pytest.raises(RuntimeError, match="f1.wav"):
+        load_data(aps, lps, cb, n_threads=2,
+                  default_config={"sr": 16000, "spec_time_step": 0.01,
+                                  "min_frequency": 0})

@@ -36,7 +36,10 @@ class SpecViewer:
         unique = np.asarray(unique)
         # drop too-light colors (invisible on white)
         self.colors = unique[unique.mean(axis=1) < 0.8]
-        self.cmap = cm.get_cmap("magma")
+        # cm.get_cmap is removed in matplotlib 3.11
+        import matplotlib
+
+        self.cmap = matplotlib.colormaps["magma"]
 
     # ------------------------------------------------------------------ helpers
 
@@ -176,6 +179,8 @@ class SpecViewer:
             if hasattr(x, "to_dict") and not isinstance(x, dict):  # DataFrame
                 x = x.to_dict("list")
             x = dict(x)
+            if "cluster" not in x:  # optional, like data.read_label
+                x["cluster"] = ["Vocal"] * len(x.get("onset", []))
             x["cluster"] = list(map(str, x["cluster"]))
             return x
 

@@ -13,8 +13,6 @@ import argparse
 import io
 import os
 import sys
-from glob import glob
-
 
 from ..runtime import respect_jax_platforms_env
 
@@ -23,12 +21,12 @@ respect_jax_platforms_env()
 
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model_path")
+    parser.add_argument("--model_path", required=True)
     parser.add_argument("--audio_path", default=None,
                         help="Path to a .wav file, or '-' for wav bytes on stdin")
     parser.add_argument("--audio_folder", default=None,
                         help="Folder of .wav files (used when audio_path is None)")
-    parser.add_argument("--csv_save_path",
+    parser.add_argument("--csv_save_path", required=True,
                         help="Output .csv path, or 'buffer' for stdout")
     parser.add_argument("--device", default="tpu", help="accepted for compat")
     parser.add_argument("--device_ids", type=int, nargs="+", default=[0],
@@ -67,6 +65,15 @@ def build_parser():
                         help="1: decoder-free frame-VAD segmentation "
                              "(Segmenter.segment_from_frames; needs a "
                              "--frame_head model — see RESULTS.md)")
+    parser.add_argument("--frame_vocal_threshold", default=None, type=float,
+                        help="frame mode: vocal-probability threshold "
+                             "(default: checkpoint's fitted value, else 0.5)")
+    parser.add_argument("--frame_cut_threshold", default=None, type=float,
+                        help="frame mode: event-track cut threshold "
+                             "(default: checkpoint's fitted value, else 0.5)")
+    parser.add_argument("--frame_boundary_snap", default=None, type=int,
+                        help="frame mode: boundary snap radius in grid "
+                             "positions (default: fitted value, else 2)")
     parser.add_argument("--max_length", default=None, type=int,
                         help="decode token budget; default = the budget the "
                              "checkpoint was trained at (stamped by train.py "
@@ -88,9 +95,11 @@ def main(argv=None):
     from ..audio.io import load_audio
     from ..segmenter import Segmenter
 
-    args = build_parser().parse_args(argv)
-    assert args.csv_save_path.endswith(".csv") or args.csv_save_path == "buffer", \
-        "csv_save_path must end with .csv or be 'buffer'"
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not (args.csv_save_path.endswith(".csv")
+            or args.csv_save_path == "buffer"):
+        parser.error("csv_save_path must end with .csv or be 'buffer'")
 
     segmenter = Segmenter.from_pretrained(
         args.model_path, inference_dtype=args.compute_type)
@@ -99,10 +108,28 @@ def main(argv=None):
 
     def run(audio, sr):
         if args.frame_mode:
+            ignored = [name for name, val, default in (
+                ("--num_trials", args.num_trials, 1),
+                ("--num_beams", args.num_beams, 4),
+                ("--refine_boundaries_ms", args.refine_boundaries_ms, None),
+                ("--split_merged_db", args.split_merged_db, None),
+                ("--merge_gap_ms", args.merge_gap_ms, None),
+                ("--frame_split", args.frame_split, None),
+                ("--frame_refine_ms", args.frame_refine_ms, None),
+                ("--frame_filter", args.frame_filter, None),
+            ) if val != default]
+            if ignored:
+                print(f"Note: frame mode (decoder-free) ignores "
+                      f"{', '.join(ignored)}; its own knobs are "
+                      f"--frame_vocal_threshold/--frame_cut_threshold/"
+                      f"--frame_boundary_snap.", file=sys.stderr)
             return segmenter.segment_from_frames(
                 audio, sr, min_frequency=args.min_frequency,
                 spec_time_step=args.spec_time_step,
                 batch_size=args.batch_size,
+                vocal_threshold=args.frame_vocal_threshold,
+                cut_threshold=args.frame_cut_threshold,
+                boundary_snap=args.frame_boundary_snap,
             )
         return segmenter.segment(
             audio, sr, min_frequency=args.min_frequency,
@@ -118,11 +145,16 @@ def main(argv=None):
         )
 
     if args.audio_path is None:
-        assert args.audio_folder is not None, \
-            "Either audio_path or audio_folder needs to be specified!"
-        paths = sorted(sum((glob(os.path.join(args.audio_folder, pat))
-                            for pat in ("*.wav", "*.WAV", "*.flac", "*.mp3",
-                                        "*.ogg")), []))
+        if args.audio_folder is None:
+            parser.error(
+                "Either audio_path or audio_folder needs to be specified!")
+        # case-insensitive extension match (field recorders often emit
+        # uppercase names; the data layer pairs them, so the CLI must too)
+        exts = (".wav", ".flac", ".mp3", ".ogg")
+        paths = sorted(
+            os.path.join(args.audio_folder, f)
+            for f in os.listdir(args.audio_folder)
+            if os.path.splitext(f)[1].lower() in exts)
         overall = {"filename": [], "onset": [], "offset": [], "cluster": []}
         for path in tqdm(paths):
             audio, sr = load_audio(path)

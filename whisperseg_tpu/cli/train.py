@@ -3,23 +3,12 @@
 from __future__ import annotations
 
 import argparse
-import os
 
+from ..runtime import respect_jax_platforms_env
 
-def _respect_jax_platforms_env():
-    """Honor JAX_PLATFORMS even when a PJRT plugin (axon) force-prepends itself
-    to jax_platforms at import time (see DEVNOTES.md)."""
-    want = os.environ.get("JAX_PLATFORMS")
-    if want and "axon" not in want:
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", want)
-        except Exception:
-            pass
-
-
-_respect_jax_platforms_env()
+# must run before any JAX backend is created (the axon plugin force-prepends
+# itself to jax_platforms; see DEVNOTES.md)
+respect_jax_platforms_env()
 
 from ..training import TrainArgs, run_training  # noqa: E402
 
@@ -110,9 +99,6 @@ def build_parser():
 
 
 def main(argv=None):
-    from ..runtime import respect_jax_platforms_env
-    respect_jax_platforms_env()
-
     a = build_parser().parse_args(argv)
     args = TrainArgs(
         initial_model_path=a.initial_model_path,

@@ -208,14 +208,28 @@ def load_data(audio_paths: Sequence[str], label_paths: Sequence[str],
                     return
                 i = next_idx[0]
                 next_idx[0] += 1
-            results[i] = _load_one(audio_paths[i], label_paths[i], cluster_codebook,
-                                   default_config, ignore_cluster)
+            try:
+                results[i] = _load_one(audio_paths[i], label_paths[i],
+                                       cluster_codebook, default_config,
+                                       ignore_cluster)
+            except Exception as e:  # surfaced below, naming the file
+                results[i] = e
 
     threads = [threading.Thread(target=worker) for _ in range(min(n_threads, max(n, 1)))]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    # A failed file must name itself: an exception on a worker thread used to
+    # leave results[i] = None and surface later as an opaque
+    # "'NoneType' object is not subscriptable".
+    failures = [(audio_paths[i], r) for i, r in enumerate(results)
+                if isinstance(r, Exception)]
+    if failures:
+        path, err = failures[0]
+        raise RuntimeError(
+            f"failed to load {len(failures)} of {n} training file(s); "
+            f"first failure: {path}: {type(err).__name__}: {err}") from err
     audio_list = [r[0] for r in results]
     label_list = [r[1] for r in results]
     return audio_list, label_list
@@ -390,7 +404,7 @@ class VocalSegDataset:
             self._frontends[key] = Frontend(key[0], key[1], key[2] or 0)
         return self._frontends[key]
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int, rng=None):
         audio = self.audio_list[idx]
         label = self.label_list[idx]
         sr = label["sr"]
@@ -399,7 +413,11 @@ class VocalSegDataset:
 
         num_samples = int(np.round(self.total_spec_columns * step * sr))
         hi = min(num_samples + 1, len(audio) - frontend.n_fft + 1)
-        clip_start = int(np.random.choice(max(hi, 1)))
+        # rng: per-item generator handed in by the DataLoader so concurrent
+        # workers don't consume the shared global stream in scheduling order
+        # (which would break seeded reproducibility); plain indexing keeps
+        # the global-np.random behavior
+        clip_start = int((rng or np.random).choice(max(hi, 1)))
         clip = audio[clip_start:clip_start + num_samples]
 
         start = clip_start / sr
@@ -433,7 +451,10 @@ class VocalSegDataset:
 
     def collate(self, items) -> Dict[str, np.ndarray]:
         """Assemble a batch; features computed on device per frontend group."""
-        feats = np.empty((len(items), 80, self.total_spec_columns), dtype=np.float32)
+        from .constants import NUM_MEL_BINS
+
+        feats = np.empty((len(items), NUM_MEL_BINS, self.total_spec_columns),
+                         dtype=np.float32)
         by_key: Dict[Tuple, List[int]] = {}
         for i, item in enumerate(items):
             by_key.setdefault(item["frontend_key"], []).append(i)
@@ -460,9 +481,11 @@ class DataLoader:
     """Shuffled, optionally drop-last batch iterator with background prefetch.
 
     ``num_workers`` threads load items concurrently (random-crop + target
-    encoding are numpy work that releases the GIL in its hot ops); a single
-    producer assembles batches in order so epochs stay reproducible under a
-    seeded ``np.random``. When the dataset mixes frontend configurations
+    encoding are numpy work that releases the GIL in its hot ops); the
+    producer draws one per-item crop RNG from the global ``np.random`` stream
+    in deterministic order BEFORE dispatching to workers, so seeded epochs
+    are identical for any ``num_workers`` (concurrent draws inside
+    ``__getitem__`` would interleave by thread schedule). When the dataset mixes frontend configurations
     (sr / spec_time_step / min_frequency), batches are bucketed by config so
     each batch runs ONE device frontend program instead of one per group
     (matching the reference's per-dataset homogeneity assumption,
@@ -540,20 +563,35 @@ class DataLoader:
             # consumer: without a sentinel it would block in q.get() forever.
             # The exception object itself is enqueued and re-raised there.
             try:
+                # Per-item RNGs are drawn from the global stream HERE, in
+                # deterministic order, so the random crops are identical for
+                # any num_workers value (thread scheduling would otherwise
+                # interleave draws and break seeded reproducibility).
+                def _seeded(idxs):
+                    return [np.random.RandomState(np.random.randint(2 ** 31))
+                            for _ in idxs]
+
+                def _get(i, r):
+                    try:
+                        return self.dataset.__getitem__(int(i), rng=r)
+                    except TypeError:
+                        return self.dataset[int(i)]  # dataset without rng arg
+
                 if self.num_workers > 1:
                     with ThreadPoolExecutor(self.num_workers) as pool:
                         for idxs in batches:
                             if stop.is_set():
                                 return
-                            items = list(pool.map(self.dataset.__getitem__,
-                                                  [int(i) for i in idxs]))
+                            items = list(pool.map(_get, [int(i) for i in idxs],
+                                                  _seeded(idxs)))
                             if not _put(self.dataset.collate(items)):
                                 return
                 else:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        items = [self.dataset[int(i)] for i in idxs]
+                        items = [_get(i, r)
+                                 for i, r in zip(idxs, _seeded(idxs))]
                         if not _put(self.dataset.collate(items)):
                             return
                 _put(None)
