@@ -37,6 +37,11 @@ def main(argv=None):
                              "total ~18.6 GB there)")
     args = parser.parse_args(argv)
 
+    # re-assert an explicit JAX_PLATFORMS=cpu over the axon plugin (it
+    # force-prepends itself; see DEVNOTES.md) — every script honors this
+    from whisperseg_tpu.runtime import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

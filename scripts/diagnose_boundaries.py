@@ -49,13 +49,18 @@ def main(argv=None):
     for ap_, lp in zip(audio_paths, label_paths):
         label = read_label(lp)
         audio, sr = load_audio(ap_, sr=label.get("sr", None))
+        # explicit zeros: checkpoint-FITTED post-processing knobs
+        # (fit_postprocess --write) must not silently activate inside a
+        # diagnostic of the RAW decode; only the flag under study applies
         pred = seg.segment(audio, sr=sr,
                            min_frequency=label.get("min_frequency", None),
                            spec_time_step=label.get("spec_time_step", None),
                            num_trials=1, num_beams=1,
                            batch_size=args.batch_size,
                            max_length=args.max_length,
-                           refine_boundaries_ms=args.refine_boundaries_ms)
+                           refine_boundaries_ms=args.refine_boundaries_ms or 0,
+                           merge_gap_ms=0, split_merged_db=0,
+                           frame_split=0, frame_refine_ms=0, frame_filter=0)
         P = np.array([pred["onset"], pred["offset"]]).T.reshape(-1, 2)
         G = np.array([label["onset"], label["offset"]]).T.reshape(-1, 2)
         n_gt += len(G)

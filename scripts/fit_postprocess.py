@@ -104,8 +104,13 @@ def main(argv=None):
     # combination behaves identically when deployed
     import numpy as _np
 
+    # labels without an explicit spec_time_step resolve to the CHECKPOINT's
+    # default at segment() time — fall back to the same value here so the
+    # fitted gate matches deployment for every label shape
+    _default_step = seg.default_segmentation_config.get("spec_time_step",
+                                                        0.0025)
     min_len_s = float(_np.median(
-        [lab.get("spec_time_step", 0.0025) for lab in labels])) * 2
+        [lab.get("spec_time_step", _default_step) for lab in labels])) * 2
 
     params, table = fit_postprocess(
         preds, labels, audios, srs, merge_gap_ms=args.merge_gap_ms,

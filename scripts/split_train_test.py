@@ -12,6 +12,14 @@ The emitted json carries the label's full configuration (sr, species,
 spec_time_step, ...) minus the in-memory-only ``cluster_id`` array, exactly
 like the notebook, so the output folders feed train.py / evaluate.py
 directly.
+
+NOTE (reference-faithful quirk): the split operates on ``load_data``'s
+FFT-blur-WIDENED boundaries (±n_fft/2/sr, reference datautils.py:121-126)
+and writes those widened values out, exactly as the notebook does — so
+training on the output applies the widening a second time (~n_fft/2/sr per
+boundary). Splitting a corpus once through this tool matches the
+reference's published pipeline; re-splitting already-split output would
+compound the widening.
 """
 
 import argparse
