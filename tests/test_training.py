@@ -274,3 +274,40 @@ def test_adafactor_trains_and_state_is_factored():
     w_after = float(np.linalg.norm(
         np.asarray(params["encoder"]["layers"]["fc1_w"])))
     assert w_after > 0.7 * w_before
+
+
+def test_mixed_config_multicorpus_training(tmp_path):
+    """One training folder mixing two frontend configurations (different sr
+    and spec_time_step) and two cluster vocabularies — the pooled
+    multi-species scenario (per-file configs, reference
+    docs/DatasetProcessing.md:86-96). The feature-extractor bank must key per
+    (sr, step, min_frequency), the codebook must union the cluster names, and
+    the frame head must get one channel per cluster."""
+    from whisperseg_tpu.checkpoint import load_checkpoint
+
+    data = str(tmp_path / "data")
+    make_tone_dataset(data, n_files=2, sr=16000)
+    other = str(tmp_path / "other")
+    make_tone_dataset(other, n_files=2, sr=32000, seed=1)
+    for i in range(2):
+        os.rename(os.path.join(other, f"f{i}.wav"),
+                  os.path.join(data, f"g{i}.wav"))
+        lab = json.load(open(os.path.join(other, f"f{i}.json")))
+        lab["spec_time_step"] = 0.005
+        lab["cluster"] = ["Chirp"] * len(lab["cluster"])
+        json.dump(lab, open(os.path.join(data, f"g{i}.json"), "w"))
+
+    init = tiny_ckpt(tmp_path)
+    out = str(tmp_path / "out")
+    run_training(TrainArgs(
+        initial_model_path=init, model_folder=out, train_dataset_folder=data,
+        max_num_iterations=4, min_num_iterations=4, batch_size=2,
+        learning_rate=1e-4, warmup_steps=2, max_length=32,
+        total_spec_columns=200, print_every=2, num_workers=1,
+        frame_head=True, seed=0))
+
+    params, cfg = load_checkpoint(os.path.join(out, "final_checkpoint"))
+    assert set(cfg.cluster_codebook) == {"Vocal", "Chirp"}
+    assert cfg.frame_head_clusters == 2
+    # head output = [vocal, onset, offset] + one logit per cluster
+    assert params["frame_head"]["h2_w"].shape[-1] == 3 + 2
