@@ -13,7 +13,15 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collectives CHECK-fail (SIGABRT) if the virtual devices' threads
+# don't all reach a rendezvous within 40 s. On a 1-core box under load the
+# 8 mesh threads are scheduled serially and can legitimately take longer —
+# raise the hard kill to 20 min (warn stays informative at 2 min).
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
