@@ -81,6 +81,17 @@ def build_parser():
                              "(reference model.py:411). 448-token programs "
                              "compile ~10x slower and buy nothing for models "
                              "finetuned at 100.")
+    parser.add_argument("--streaming", default=0, type=int,
+                        help="1: bounded-memory streaming segmentation for "
+                             "long recordings (Segmenter.segment_streaming): "
+                             "the file is processed in --chunk_seconds chunks "
+                             "instead of loaded whole, resampled to the "
+                             "model's sampling rate (falling back to the "
+                             "file's native rate). Requires a file path (not "
+                             "stdin). Works with --frame_mode.")
+    parser.add_argument("--chunk_seconds", default=60.0, type=float,
+                        help="streaming mode: seconds of audio per chunk "
+                             "(peak memory is O(chunk))")
     parser.add_argument("--compute_type", default="bfloat16",
                         choices=["float32", "bfloat16", "int8", "int4"],
                         help="Inference weight precision (int8 = CT2 "
@@ -105,6 +116,23 @@ def main(argv=None):
         args.model_path, inference_dtype=args.compute_type)
     if args.draft_model_path:
         segmenter.set_draft_model(args.draft_model_path, spec_k=args.spec_k)
+
+    def run_streaming(path):
+        return segmenter.segment_streaming(
+            path, chunk_seconds=args.chunk_seconds,
+            frame_mode=bool(args.frame_mode),
+            min_frequency=args.min_frequency,
+            spec_time_step=args.spec_time_step,
+            batch_size=args.batch_size,
+            num_trials=args.num_trials, num_beams=args.num_beams,
+            max_length=args.max_length, merge_gap_ms=args.merge_gap_ms,
+            frame_split=args.frame_split,
+            frame_refine_ms=args.frame_refine_ms,
+            frame_filter=args.frame_filter,
+            vocal_threshold=args.frame_vocal_threshold,
+            cut_threshold=args.frame_cut_threshold,
+            boundary_snap=args.frame_boundary_snap,
+        )
 
     def run(audio, sr):
         if args.frame_mode:
@@ -157,8 +185,11 @@ def main(argv=None):
             if os.path.splitext(f)[1].lower() in exts)
         overall = {"filename": [], "onset": [], "offset": [], "cluster": []}
         for path in tqdm(paths):
-            audio, sr = load_audio(path)
-            res = run(audio, sr)
+            if args.streaming:
+                res = run_streaming(path)
+            else:
+                audio, sr = load_audio(path)
+                res = run(audio, sr)
             overall["filename"] += [os.path.basename(path)] * len(res["onset"])
             overall["onset"] += res["onset"]
             overall["offset"] += res["offset"]
@@ -166,10 +197,15 @@ def main(argv=None):
         df = pd.DataFrame(overall)
     else:
         if args.audio_path == "-":
+            if args.streaming:
+                parser.error("--streaming needs a file path, not stdin")
             audio, sr = load_audio(sys.stdin.buffer.read())
+            df = pd.DataFrame(run(audio, sr))
+        elif args.streaming:
+            df = pd.DataFrame(run_streaming(args.audio_path))
         else:
             audio, sr = load_audio(args.audio_path)
-        df = pd.DataFrame(run(audio, sr))
+            df = pd.DataFrame(run(audio, sr))
 
     if args.csv_save_path == "buffer":
         buf = io.StringIO()

@@ -42,6 +42,60 @@ from .scoring import frame_score as _frame_score
 from .scoring import segment_score as _segment_score
 
 
+def _blur_correct_and_dedup(final: Dict[str, list],
+                            time_delta: float) -> Dict[str, list]:
+    """FFT-blur correction with midpoint collapse (reference model.py:439-455)
+    followed by exact-duplicate removal after sorting (reference
+    model.py:457-468). Shared by ``segment`` and ``segment_streaming``."""
+    onsets, offsets = [], []
+    for onset, offset in zip(final["onset"], final["offset"]):
+        c_on, c_off = onset + time_delta, offset - time_delta
+        if c_on > c_off:
+            c_on = c_off = (onset + offset) / 2
+        onsets.append(c_on)
+        offsets.append(c_off)
+    final["onset"], final["offset"] = onsets, offsets
+
+    if final["onset"]:
+        clean: List[Tuple[float, float, str]] = []
+        for onset, offset, cluster in sorted(
+            zip(final["onset"], final["offset"], final["cluster"]),
+            key=lambda x: x[0],
+        ):
+            if not clean or (onset, offset, cluster) != clean[-1]:
+                clean.append((onset, offset, cluster))
+        final["onset"] = [c[0] for c in clean]
+        final["offset"] = [c[1] for c in clean]
+        final["cluster"] = [c[2] for c in clean]
+    return final
+
+
+def _round_and_rededup(final: Dict[str, list],
+                       precision_bits: int) -> Dict[str, list]:
+    """Final rounding (reference model.py:457-468 precision_bits) + re-dedup:
+    post-processing stages emit sub-millisecond boundary positions, and two
+    nearby decoded segments can snap to the SAME event peaks (frame_refine)
+    or round to identical boundaries, re-creating duplicates the earlier
+    dedup (which ran pre-post-processing) could not see."""
+    final["onset"] = [float(np.round(t, precision_bits))
+                      for t in final["onset"]]
+    final["offset"] = [float(np.round(t, precision_bits))
+                       for t in final["offset"]]
+    if final["onset"]:
+        clean = []
+        # full-tuple sort: with an onset-only key, a same-onset row with a
+        # different offset can sit BETWEEN two identical rows and the
+        # adjacent-only comparison would miss the duplicate
+        for row in sorted(zip(final["onset"], final["offset"],
+                              final["cluster"])):
+            if not clean or row != clean[-1]:
+                clean.append(row)
+        final["onset"] = [c[0] for c in clean]
+        final["offset"] = [c[1] for c in clean]
+        final["cluster"] = [c[2] for c in clean]
+    return final
+
+
 class Segmenter:
     """Segmentation front-door over a (params, config) model pytree.
 
@@ -480,6 +534,286 @@ class Segmenter:
             min_segment_length=min_segment_length,
             precision_bits=self.precision_bits)
 
+    # ----------------------------------------------------------------- streaming
+
+    def _stream_frame_tracks(self, stream, spec_time_step: float,
+                             min_frequency: float, batch_size: int,
+                             status_monitor: Optional[dict] = None):
+        """frame_probs over an AudioStream: one pass, O(chunk) memory.
+
+        Returns the same tracks dict as :meth:`frame_probs` (the tracks
+        themselves are tiny — 16 bytes per timestamp quantum — so they are
+        accumulated whole)."""
+        import jax.numpy as jnp
+
+        if "frame_head" not in self.params:
+            raise ValueError(
+                "this model has no frame head; train with --frame_head")
+        sr = stream.sr
+        clip_samples = int(self.total_spec_columns * spec_time_step * sr)
+        frontend = Frontend(sr, spec_time_step, min_frequency)
+        fn = self._frame_fn(frontend)
+        lock = self.__dict__.setdefault("_frame_lock", threading.Lock())
+
+        probs_parts, cl_parts = [], []
+        pend: List[np.ndarray] = []
+        total_samples = 0
+        n_windows = 0
+
+        def flush(force=False):
+            while len(pend) >= batch_size or (force and pend):
+                take = pend[:batch_size]
+                del pend[:batch_size]
+                real = len(take)
+                chunk = np.stack(take)
+                if real < batch_size:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((batch_size - real, clip_samples),
+                                         np.float32)])
+                p, c = fn(self.params, jnp.asarray(chunk))
+                probs_parts.append(np.asarray(p)[:real])
+                cl_parts.append(np.asarray(c)[:real])
+
+        with lock:
+            carry = np.zeros(0, np.float32)
+            for chunk in stream:
+                total_samples += len(chunk)
+                buf = np.concatenate([carry, chunk]) if len(carry) else chunk
+                nwin = len(buf) // clip_samples
+                for k in range(nwin):
+                    pend.append(buf[k * clip_samples:(k + 1) * clip_samples])
+                n_windows += nwin
+                carry = buf[nwin * clip_samples:].copy()
+                flush()
+                if status_monitor is not None and stream.duration:
+                    status_monitor["progress"] = int(np.round(min(
+                        total_samples / sr / stream.duration, 1.0) * 100))
+            if len(carry) or n_windows == 0:
+                tail = np.zeros(clip_samples, np.float32)
+                tail[: len(carry)] = carry
+                pend.append(tail)
+            flush(force=True)
+
+        probs = np.concatenate(probs_parts).reshape(-1, 3)
+        cluster = np.concatenate(cl_parts).reshape(-1)
+        quantum = spec_time_step * RATIO
+        n_t = int(np.ceil(total_samples / sr / quantum)) if total_samples else 0
+        probs, cluster = probs[:n_t], cluster[:n_t]
+        return {"vocal": probs[:, 0], "onset": probs[:, 1],
+                "offset": probs[:, 2], "cluster": cluster,
+                "quantum": quantum}, total_samples
+
+    def segment_streaming(
+        self,
+        path: str,
+        sr: Optional[int] = None,
+        *,
+        chunk_seconds: float = 60.0,
+        channel_id: Optional[int] = None,
+        frame_mode: bool = False,
+        min_frequency: Optional[float] = None,
+        spec_time_step: Optional[float] = None,
+        min_segment_length: Optional[float] = None,
+        eps: Optional[float] = None,
+        time_per_frame_for_voting: Optional[float] = None,
+        consolidation_method: str = "clustering",
+        max_length: Optional[int] = None,
+        batch_size: int = 4,
+        num_trials: int = 1,
+        num_beams: int = 4,
+        top_k: int = 1,
+        top_p: float = 1.0,
+        length_penalty: float = 1.0,
+        status_monitor: Optional[dict] = None,
+        seed: int = 0,
+        constrained: bool = False,
+        int8_kv: bool = False,
+        vocal_threshold: Optional[float] = None,
+        cut_threshold: Optional[float] = None,
+        boundary_snap: Optional[int] = None,
+        merge_gap_ms: Optional[float] = None,
+        frame_split: Optional[float] = None,
+        frame_refine_ms: Optional[float] = None,
+        frame_filter: Optional[float] = None,
+    ) -> Dict[str, list]:
+        """Segment a FILE of arbitrary length at bounded memory.
+
+        Beyond-reference capability: the reference (and :meth:`segment`)
+        holds the whole recording in RAM — a one-hour 300 kHz mouse recording
+        is ~4.3 GB before features. This streams the file in
+        ``chunk_seconds`` chunks (audio/stream.py: WAVs stream natively off
+        disk with exact chunked resampling; compressed formats fall back to a
+        one-shot decode) and keeps only per-trial carry buffers of at most
+        one window each, so peak memory is O(chunk + batch windows) while the
+        output is IDENTICAL to ``segment(load_audio(path))`` for
+        deterministic decoding (greedy/beam; sampling paths draw different
+        but equally valid randomness per flushed batch).
+
+        ``sr=None`` resolves to the model's default_segmentation_config
+        ``sr``, else the file's native rate. ``frame_mode=True`` runs the
+        decoder-free frame-VAD path (:meth:`segment_from_frames`) instead of
+        the seq2seq decode. Post-processing: the token-level pipeline,
+        ``merge_gap_ms``, and the learned frame-head knobs (``frame_split`` /
+        ``frame_refine_ms`` / ``frame_filter`` — the chain
+        scripts/fit_postprocess.py fits) are fully supported; the
+        energy-envelope knobs (``split_merged_db`` / ``refine_boundaries_ms``)
+        need random access to the raw audio and are SKIPPED with a warning if
+        the checkpoint's fitted defaults enable them — use :meth:`segment`
+        when those matter more than memory.
+        """
+        import sys
+
+        from .audio.stream import AudioStream
+        from .refine import (apply_frame_postprocess, merge_small_gaps,
+                             segments_from_tracks)
+
+        dsc = self.default_segmentation_config
+        if min_frequency is None:
+            min_frequency = dsc.get("min_frequency", 0)
+        if spec_time_step is None:
+            spec_time_step = dsc.get("spec_time_step", 0.0025)
+        if min_segment_length is None:
+            min_segment_length = spec_time_step * RATIO
+        if sr is None:
+            sr = dsc.get("sr")  # None -> file native rate
+
+        stream = AudioStream(path, sr=sr, chunk_seconds=chunk_seconds,
+                             channel_id=channel_id)
+        sr = stream.sr
+        time_delta = fft_time_delta(sr)
+
+        if frame_mode:
+            if vocal_threshold is None:
+                vocal_threshold = dsc.get("frame_vocal_threshold", 0.5)
+            if cut_threshold is None:
+                cut_threshold = dsc.get("frame_cut_threshold", 0.5)
+            if boundary_snap is None:
+                boundary_snap = int(dsc.get("frame_boundary_snap", 2))
+            tracks, total_samples = self._stream_frame_tracks(
+                stream, spec_time_step, min_frequency, batch_size,
+                status_monitor)
+            return segments_from_tracks(
+                tracks, total_samples / sr, time_delta,
+                self.inverse_cluster_codebook,
+                vocal_threshold=vocal_threshold, cut_threshold=cut_threshold,
+                boundary_snap=boundary_snap,
+                min_segment_length=min_segment_length,
+                precision_bits=self.precision_bits)
+
+        # ----- decode path: same default chain as segment() -----
+        if merge_gap_ms is None:
+            merge_gap_ms = dsc.get("merge_gap_ms", 0)
+        if frame_split is None:
+            frame_split = dsc.get("frame_split", 0)
+        if frame_refine_ms is None:
+            frame_refine_ms = dsc.get("frame_refine_ms", 0)
+        if frame_filter is None:
+            frame_filter = dsc.get("frame_filter", 0)
+        if eps is None:
+            eps = spec_time_step * RATIO * 4
+        if time_per_frame_for_voting is None:
+            time_per_frame_for_voting = spec_time_step
+        if max_length is None:
+            max_length = int(dsc.get("max_length", 448))
+        if dsc.get("split_merged_db") or dsc.get("refine_boundaries_ms"):
+            print("Warning: the checkpoint's fitted split_merged_db/"
+                  "refine_boundaries_ms post-processing needs random access "
+                  "to the raw audio and is skipped in streaming mode; use "
+                  "segment() if it matters more than memory.",
+                  file=sys.stderr)
+
+        clip_duration = self.total_spec_columns * spec_time_step
+        clip_samples = int(clip_duration * sr)
+        frontend = Frontend(sr, spec_time_step, min_frequency)
+
+        # per-trial carry buffers, pre-seeded with the trial's shifted
+        # zero left-pad — the streaming counterpart of slice_audio_windows
+        # (reference model.py:127-166); window content and meta are identical
+        pad_time, carries, win_count = [], [], []
+        for trial_id in range(num_trials):
+            p = (np.round(clip_duration * trial_id / num_trials
+                          / spec_time_step) * spec_time_step)
+            pad_time.append(p)
+            carries.append(np.zeros(int(p * sr), np.float32))
+            win_count.append(0)
+
+        token_lists: List[List[int]] = []
+        meta: List[Tuple[int, float, float]] = []
+        pend_clips: List[np.ndarray] = []
+        pend_meta: List[Tuple[int, float, float]] = []
+        total_samples = 0
+        flush_idx = 0
+
+        def flush(force=False):
+            nonlocal flush_idx
+            while len(pend_clips) >= batch_size or (force and pend_clips):
+                take = pend_clips[:batch_size]
+                del pend_clips[:batch_size]
+                # a distinct seed per flushed batch so sampling paths don't
+                # repeat the same draws (deterministic decodes are unaffected)
+                token_lists.extend(self._generate_tokens(
+                    np.stack(take), frontend, batch_size, max_length,
+                    num_beams, top_k, length_penalty, seed + flush_idx, None,
+                    constrained=constrained, int8_kv=int8_kv, top_p=top_p))
+                meta.extend(pend_meta[:len(take)])
+                del pend_meta[:len(take)]
+                flush_idx += 1
+
+        for chunk in stream:
+            total_samples += len(chunk)
+            for t in range(num_trials):
+                buf = (np.concatenate([carries[t], chunk])
+                       if len(carries[t]) else chunk)
+                nwin = len(buf) // clip_samples
+                for k in range(nwin):
+                    pend_clips.append(
+                        buf[k * clip_samples:(k + 1) * clip_samples])
+                    pend_meta.append(
+                        (t, win_count[t] * clip_samples / sr - pad_time[t],
+                         clip_samples / sr))
+                    win_count[t] += 1
+                carries[t] = buf[nwin * clip_samples:].copy()
+            flush()
+            if status_monitor is not None and stream.duration:
+                status_monitor["progress"] = int(np.round(min(
+                    total_samples / sr / stream.duration, 1.0) * 100))
+
+        # trailing partial window per trial; a trial with no windows at all
+        # (empty audio) still emits one (reference model.py:145-146)
+        for t in range(num_trials):
+            if len(carries[t]) or win_count[t] == 0:
+                tail = np.zeros(clip_samples, np.float32)
+                tail[: len(carries[t])] = carries[t]
+                pend_clips.append(tail)
+                pend_meta.append(
+                    (t, win_count[t] * clip_samples / sr - pad_time[t],
+                     len(carries[t]) / sr))
+        flush(force=True)
+
+        audio_duration = total_samples / sr
+        final = self._parse_generation(
+            token_lists, meta, min_segment_length, audio_duration,
+            spec_time_step, num_trials, eps, time_per_frame_for_voting,
+            consolidation_method,
+        )
+        final = _blur_correct_and_dedup(final, time_delta)
+
+        if merge_gap_ms:
+            final = merge_small_gaps(final, gap_s=merge_gap_ms / 1000.0)
+
+        if ((frame_split or frame_refine_ms or frame_filter)
+                and "frame_head" in self.params):
+            # second pass over the file for the frame tracks — the same
+            # encoder-re-run cost segment() pays for its frame_probs call
+            tracks, _ = self._stream_frame_tracks(
+                stream, spec_time_step, min_frequency, batch_size)
+            final = apply_frame_postprocess(
+                final, tracks, time_delta, frame_split=frame_split,
+                frame_refine_ms=frame_refine_ms, frame_filter=frame_filter,
+                min_len_s=min_segment_length)
+
+        return _round_and_rededup(final, self.precision_bits)
+
     # ------------------------------------------------------------------- parsing
 
     def _parse_generation(
@@ -623,29 +957,8 @@ class Segmenter:
             consolidation_method,
         )
 
-        # FFT-blur correction with midpoint collapse (reference model.py:439-455).
         time_delta = fft_time_delta(sr)
-        onsets, offsets = [], []
-        for onset, offset in zip(final["onset"], final["offset"]):
-            c_on, c_off = onset + time_delta, offset - time_delta
-            if c_on > c_off:
-                c_on = c_off = (onset + offset) / 2
-            onsets.append(c_on)
-            offsets.append(c_off)
-        final["onset"], final["offset"] = onsets, offsets
-
-        # Exact-duplicate removal after sorting (reference model.py:457-468).
-        if final["onset"]:
-            clean: List[Tuple[float, float, str]] = []
-            for onset, offset, cluster in sorted(
-                zip(final["onset"], final["offset"], final["cluster"]),
-                key=lambda x: x[0],
-            ):
-                if not clean or (onset, offset, cluster) != clean[-1]:
-                    clean.append((onset, offset, cluster))
-            final["onset"] = [c[0] for c in clean]
-            final["offset"] = [c[1] for c in clean]
-            final["cluster"] = [c[2] for c in clean]
+        final = _blur_correct_and_dedup(final, time_delta)
 
         # Opt-in post-processing chain (merge -> split -> refine; beyond
         # reference, see refine.py for rationale and the canonical order).
@@ -674,29 +987,7 @@ class Segmenter:
                 frame_refine_ms=frame_refine_ms, frame_filter=frame_filter,
                 min_len_s=min_segment_length)
 
-        # Final 3-decimal rounding (reference model.py:457-468 precision_bits):
-        # post-processing stages emit sub-millisecond boundary positions.
-        final["onset"] = [float(np.round(t, self.precision_bits))
-                          for t in final["onset"]]
-        final["offset"] = [float(np.round(t, self.precision_bits))
-                           for t in final["offset"]]
-        # Re-dedup after post-processing + rounding: two nearby decoded
-        # segments can snap to the SAME event peaks (frame_refine) or round
-        # to identical boundaries, re-creating duplicates the earlier pass
-        # (which ran pre-post-processing) could not see.
-        if final["onset"]:
-            clean = []
-            # full-tuple sort: with an onset-only key, a same-onset row with
-            # a different offset can sit BETWEEN two identical rows and the
-            # adjacent-only comparison would miss the duplicate
-            for row in sorted(zip(final["onset"], final["offset"],
-                                  final["cluster"])):
-                if not clean or row != clean[-1]:
-                    clean.append(row)
-            final["onset"] = [c[0] for c in clean]
-            final["offset"] = [c[1] for c in clean]
-            final["cluster"] = [c[2] for c in clean]
-        return final
+        return _round_and_rededup(final, self.precision_bits)
 
     # ------------------------------------------------------------------- scoring
 
