@@ -692,6 +692,7 @@ class Segmenter:
             tracks, total_samples = self._stream_frame_tracks(
                 stream, spec_time_step, min_frequency, batch_size,
                 status_monitor)
+            stream.close()
             return segments_from_tracks(
                 tracks, total_samples / sr, time_delta,
                 self.inverse_cluster_codebook,
@@ -812,6 +813,7 @@ class Segmenter:
                 frame_refine_ms=frame_refine_ms, frame_filter=frame_filter,
                 min_len_s=min_segment_length)
 
+        stream.close()
         return _round_and_rededup(final, self.precision_bits)
 
     # ------------------------------------------------------------------- parsing
