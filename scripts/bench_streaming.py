@@ -20,7 +20,8 @@ import os
 import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 WORKER = r"""
 import json, os, resource, sys, time
@@ -46,14 +47,20 @@ else:
 dt = time.perf_counter() - t0
 # ru_maxrss is KiB on linux
 peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+import hashlib
+digest = hashlib.sha256(json.dumps(
+    [out["onset"], out["offset"], out["cluster"]]).encode()).hexdigest()
 print(json.dumps({"rss_mb": round(peak_mb, 1), "seconds": round(dt, 2),
                   "n_segments": len(out["onset"]),
-                  "onsets": out["onset"][:50]}))
+                  "output_sha256": digest}))
 """
 
 
 def run_mode(mode, args):
     env = dict(os.environ)
+    # the worker imports whisperseg_tpu from the (not-installed) repo tree;
+    # the parent's sys.path does not propagate to `python -c`
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, "-c", WORKER, mode, args.model_path, args.wav,
          str(args.sr), "1" if args.frame_mode else "0"],
@@ -98,7 +105,7 @@ def main():
         "rss_ratio": round(mem["rss_mb"] / stream["rss_mb"], 2),
         "in_memory_s": mem["seconds"],
         "streaming_s": stream["seconds"],
-        "equal_output": mem["onsets"] == stream["onsets"]
+        "equal_output": mem["output_sha256"] == stream["output_sha256"]
         and mem["n_segments"] == stream["n_segments"],
     }))
 

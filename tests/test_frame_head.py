@@ -459,3 +459,82 @@ def test_fit_frame_mode_defaults_win_ties():
         [tracks], [label], [1.0], [delta], {0: "Vocal"},
         vocal_threshold=(0.3, 0.5), cut_threshold=(0.5,), boundary_snap=(2,))
     assert params == {}
+
+
+# ------------------------------------------------- fused decode+frames pass
+
+
+def test_fused_frame_tracks_match_frame_probs():
+    """segment() with fitted frame knobs must get its tracks from the decode
+    pass's own encoder run (trial-0 windows == frame_probs' windows), not a
+    second encoder pass — and the tracks must match frame_probs exactly."""
+    from whisperseg_tpu.segmenter import _tracks_from_window_frames
+
+    seg = make_segmenter()
+    sr = 16000
+    audio = np.random.RandomState(7).randn(int(1.7 * sr)).astype(np.float32)
+    step = 0.01
+
+    two_pass = seg.frame_probs(audio, sr=sr, spec_time_step=step,
+                               batch_size=2)
+
+    from whisperseg_tpu.audio.frontend import Frontend
+
+    clips, meta = seg.slice_audio_windows(audio, sr, step, num_trials=2)
+    frontend = Frontend(sr, step, 0)
+    _, probs, cl = seg._generate_tokens(
+        clips, frontend, 2, 16, 1, 1, 1.0, 0, None, collect_frames=True)
+    n0 = sum(1 for m in meta if m[0] == 0)
+    fused = _tracks_from_window_frames(probs[:n0], cl[:n0],
+                                       len(audio) / sr, step)
+
+    for k in ("vocal", "onset", "offset"):
+        np.testing.assert_allclose(fused[k], two_pass[k], atol=1e-5)
+    np.testing.assert_array_equal(fused["cluster"], two_pass["cluster"])
+    assert fused["quantum"] == two_pass["quantum"]
+
+
+def test_segment_with_fitted_knobs_skips_second_encoder_pass(monkeypatch):
+    """With fitted frame post-processing active, segment() must not call
+    frame_probs (the old second full encoder pass) — and its output must
+    equal applying the post-processing to the two-pass tracks."""
+    from whisperseg_tpu.refine import apply_frame_postprocess
+    from whisperseg_tpu.constants import fft_time_delta
+    from whisperseg_tpu.segmenter import (_blur_correct_and_dedup,
+                                          _round_and_rededup)
+
+    seg = make_segmenter()
+    sr = 16000
+    audio = np.random.RandomState(8).randn(int(1.3 * sr)).astype(np.float32)
+    kw = dict(spec_time_step=0.01, min_frequency=0, batch_size=2,
+              num_beams=1, top_k=1, max_length=16, num_trials=1)
+
+    # expected: the plain decode output put through the post-processing with
+    # independently computed (two-pass) tracks
+    plain_tokens_tracks = seg.frame_probs(audio, sr=sr, spec_time_step=0.01,
+                                          batch_size=2)
+
+    calls = []
+    orig = type(seg).frame_probs
+    monkeypatch.setattr(type(seg), "frame_probs",
+                        lambda self, *a, **k: calls.append(1) or orig(self, *a, **k))
+    got = seg.segment(audio, sr, frame_refine_ms=20.0, frame_filter=0.01,
+                      **kw)
+    assert calls == [], "segment() ran the second encoder pass"
+
+    # two-pass expected output: re-run the pre-postprocessing pipeline, then
+    # apply the frame post-processing with the independent tracks
+    clips, meta = seg.slice_audio_windows(audio, sr, 0.01, 1)
+    from whisperseg_tpu.audio.frontend import Frontend
+
+    tokens = seg._generate_tokens(clips, Frontend(sr, 0.01, 0), 2, 16, 1, 1,
+                                  1.0, 0, None)
+    final = seg._parse_generation(tokens, meta, 0.02, len(audio) / sr,
+                                  0.01, 1, 0.08, 0.01, "clustering")
+    delta = fft_time_delta(sr)
+    final = _blur_correct_and_dedup(final, delta)
+    final = apply_frame_postprocess(final, plain_tokens_tracks, delta,
+                                    frame_split=0, frame_refine_ms=20.0,
+                                    frame_filter=0.01, min_len_s=0.02)
+    expected = _round_and_rededup(final, seg.precision_bits)
+    assert got == expected

@@ -152,6 +152,7 @@ def generate(
     early_exit: bool = True,
     constrained: bool = False,
     int8_kv: bool = False,
+    enc_out=None,
 ):
     """Features -> generated token ids [B, max_length] (prompt included, PAD-padded).
 
@@ -162,10 +163,13 @@ def generate(
     path) so every transcript parses into monotone segments. ``int8_kv=True``
     stores the cross-attention K/V int8 and decodes through the Pallas
     in-VMEM-dequant kernel (``ops/cross_attention.py``) — measured faster than
-    bf16 KV for MHA models, a wash under GQA (see BENCH.md)."""
+    bf16 KV for MHA models, a wash under GQA (see BENCH.md).
+    ``enc_out`` lets a caller that already ran the encoder (e.g. to also
+    feed the frame head from the same pass) skip the second encoder run."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    enc_out = encoder_forward(params, cfg, features)
+    if enc_out is None:
+        enc_out = encoder_forward(params, cfg, features)
     if num_beams <= 1:
         return _generate_greedy(params, cfg, enc_out, rng, max_length, top_k,
                                 early_exit, constrained, int8_kv, top_p)

@@ -96,6 +96,25 @@ def _round_and_rededup(final: Dict[str, list],
     return final
 
 
+def _tracks_from_window_frames(probs: np.ndarray, cluster: np.ndarray,
+                               duration_s: float,
+                               spec_time_step: float) -> Dict[str, np.ndarray]:
+    """Assemble the frame-track dict from per-window frame-head outputs.
+
+    ``probs`` [N, S, 3] / ``cluster`` [N, S] are the head's outputs for the
+    N non-overlapping trial-0 windows of one audio, in time order; the
+    concatenated tracks are truncated to the audio's own length on the
+    decoder time base (quantum = spec_time_step * RATIO)."""
+    probs = probs.reshape(-1, 3)
+    cluster = cluster.reshape(-1)
+    quantum = spec_time_step * RATIO
+    n_t = int(np.ceil(duration_s / quantum)) if duration_s else 0
+    probs, cluster = probs[:n_t], cluster[:n_t]
+    return {"vocal": probs[:, 0], "onset": probs[:, 1],
+            "offset": probs[:, 2], "cluster": cluster,
+            "quantum": quantum}
+
+
 class Segmenter:
     """Segmentation front-door over a (params, config) model pytree.
 
@@ -249,11 +268,18 @@ class Segmenter:
 
     def _segment_fn(self, frontend: Frontend, max_length: int, num_beams: int,
                     top_k: int, constrained: bool = False,
-                    int8_kv: bool = False, top_p: float = 1.0):
+                    int8_kv: bool = False, top_p: float = 1.0,
+                    want_frames: bool = False):
         """One fused jitted computation: raw audio clips -> log-mel features ->
         autoregressive decode -> token ids. Fusing the frontend into the decode
         call halves host->device round trips per batch (which dominate when the
-        device is reached over a network tunnel)."""
+        device is reached over a network tunnel).
+
+        ``want_frames=True`` additionally feeds the SAME encoder output
+        through the frame head and returns ``(tokens, probs [B,S,3],
+        cluster [B,S])`` — the fitted frame post-processing then costs zero
+        extra encoder runs (the encoder is ~80% of the pipeline at the
+        production plateau, BENCH.md)."""
         import jax
 
         from .decode import generate, generate_speculative
@@ -263,7 +289,7 @@ class Segmenter:
                     and top_p >= 1.0 and not int8_kv)
         key = (frontend.sr, frontend.spec_time_step, frontend.min_frequency,
                frontend.max_frequency, max_length, num_beams, top_k,
-               constrained, int8_kv, use_spec, top_p)
+               constrained, int8_kv, use_spec, top_p, want_frames)
         cache = self.__dict__.setdefault("_segment_fn_cache", {})
         if key not in cache:
             total = self.total_spec_columns
@@ -282,6 +308,30 @@ class Segmenter:
                     return generate_speculative(params, cfg, dparams, dcfg,
                                                 feats, max_length=max_length,
                                                 spec_k=spec_k)
+            elif want_frames:
+                import jax.numpy as jnp
+
+                from .models.whisper import (encoder_forward,
+                                             frame_head_forward)
+
+                def fn(params, clips, rng, length_penalty):
+                    feats = frontend.features_for_clips(clips, total)
+                    enc = encoder_forward(params, cfg, feats)
+                    tokens = generate(params, cfg, feats, rng=rng,
+                                      max_length=max_length,
+                                      num_beams=num_beams,
+                                      top_k=top_k, top_p=top_p,
+                                      length_penalty=length_penalty,
+                                      constrained=constrained,
+                                      int8_kv=int8_kv, enc_out=enc)
+                    logits = frame_head_forward(params, cfg, enc)
+                    probs = jax.nn.sigmoid(logits[..., :3])
+                    if logits.shape[-1] > 3:
+                        cl = jnp.argmax(logits[..., 3:], axis=-1)
+                        cl = cl.astype(jnp.int32)
+                    else:
+                        cl = jnp.full(logits.shape[:2], -1, dtype=jnp.int32)
+                    return tokens, probs, cl
             else:
                 def fn(params, clips, rng, length_penalty):
                     feats = frontend.features_for_clips(clips, total)
@@ -316,16 +366,24 @@ class Segmenter:
         constrained: bool = False,
         int8_kv: bool = False,
         top_p: float = 1.0,
-    ) -> List[List[int]]:
+        collect_frames: bool = False,
+    ):
         """Run the fused frontend+decode computation over fixed-size batches
-        (last batch zero-padded so every call reuses one compiled executable)."""
+        (last batch zero-padded so every call reuses one compiled executable).
+
+        Returns the token lists, or with ``collect_frames=True`` a tuple
+        ``(token_lists, probs [N, S, 3], cluster [N, S])`` where the frame
+        tracks come from the same encoder pass as the decode (no second
+        encoder run)."""
         import jax
         import jax.numpy as jnp
 
         fn = self._segment_fn(frontend, max_length, num_beams, top_k,
-                              constrained, int8_kv, top_p)
+                              constrained, int8_kv, top_p,
+                              want_frames=collect_frames)
         n = clips.shape[0]
         out: List[List[int]] = []
+        probs_parts, cl_parts = [], []
         rng = jax.random.PRNGKey(seed)
         for pos in range(0, n, batch_size):
             chunk = clips[pos:pos + batch_size]
@@ -341,13 +399,21 @@ class Segmenter:
                 from .parallel.mesh import batch_sharding
 
                 chunk_dev = jax.device_put(chunk_dev, batch_sharding(self.mesh))
-            tokens = fn(self.params, chunk_dev, sub,
+            result = fn(self.params, chunk_dev, sub,
                         float(length_penalty))
+            if collect_frames:
+                tokens, probs, cl = result
+                probs_parts.append(np.asarray(probs)[:real])
+                cl_parts.append(np.asarray(cl)[:real])
+            else:
+                tokens = result
             out += np.asarray(tokens)[:real].tolist()
             if status_monitor is not None:
                 status_monitor["progress"] = int(
                     np.round(min(pos + batch_size, n) / n * 100)
                 )
+        if collect_frames:
+            return out, np.concatenate(probs_parts), np.concatenate(cl_parts)
         return out
 
     def warmup(self, sr: int, spec_time_step: Optional[float] = None,
@@ -463,15 +529,9 @@ class Segmenter:
                 p, c = fn(self.params, jnp.asarray(chunk))
                 probs_parts.append(np.asarray(p)[:real])
                 cl_parts.append(np.asarray(c)[:real])
-        probs = np.concatenate(probs_parts).reshape(-1, 3)   # [n*S, 3]
-        cluster = np.concatenate(cl_parts).reshape(-1)
-
-        quantum = spec_time_step * RATIO
-        n_t = int(np.ceil(len(audio) / sr / quantum)) if len(audio) else 0
-        probs, cluster = probs[:n_t], cluster[:n_t]
-        return {"vocal": probs[:, 0], "onset": probs[:, 1],
-                "offset": probs[:, 2], "cluster": cluster,
-                "quantum": quantum}
+        return _tracks_from_window_frames(
+            np.concatenate(probs_parts), np.concatenate(cl_parts),
+            len(audio) / sr if len(audio) else 0.0, spec_time_step)
 
     def segment_from_frames(
         self,
@@ -679,142 +739,174 @@ class Segmenter:
 
         stream = AudioStream(path, sr=sr, chunk_seconds=chunk_seconds,
                              channel_id=channel_id)
-        sr = stream.sr
-        time_delta = fft_time_delta(sr)
+        try:
+            sr = stream.sr
+            time_delta = fft_time_delta(sr)
 
-        if frame_mode:
-            if vocal_threshold is None:
-                vocal_threshold = dsc.get("frame_vocal_threshold", 0.5)
-            if cut_threshold is None:
-                cut_threshold = dsc.get("frame_cut_threshold", 0.5)
-            if boundary_snap is None:
-                boundary_snap = int(dsc.get("frame_boundary_snap", 2))
-            tracks, total_samples = self._stream_frame_tracks(
-                stream, spec_time_step, min_frequency, batch_size,
-                status_monitor)
-            stream.close()
-            return segments_from_tracks(
-                tracks, total_samples / sr, time_delta,
-                self.inverse_cluster_codebook,
-                vocal_threshold=vocal_threshold, cut_threshold=cut_threshold,
-                boundary_snap=boundary_snap,
-                min_segment_length=min_segment_length,
-                precision_bits=self.precision_bits)
+            if frame_mode:
+                if vocal_threshold is None:
+                    vocal_threshold = dsc.get("frame_vocal_threshold", 0.5)
+                if cut_threshold is None:
+                    cut_threshold = dsc.get("frame_cut_threshold", 0.5)
+                if boundary_snap is None:
+                    boundary_snap = int(dsc.get("frame_boundary_snap", 2))
+                tracks, total_samples = self._stream_frame_tracks(
+                    stream, spec_time_step, min_frequency, batch_size,
+                    status_monitor)
+                return segments_from_tracks(
+                    tracks, total_samples / sr, time_delta,
+                    self.inverse_cluster_codebook,
+                    vocal_threshold=vocal_threshold, cut_threshold=cut_threshold,
+                    boundary_snap=boundary_snap,
+                    min_segment_length=min_segment_length,
+                    precision_bits=self.precision_bits)
 
-        # ----- decode path: same default chain as segment() -----
-        if merge_gap_ms is None:
-            merge_gap_ms = dsc.get("merge_gap_ms", 0)
-        if frame_split is None:
-            frame_split = dsc.get("frame_split", 0)
-        if frame_refine_ms is None:
-            frame_refine_ms = dsc.get("frame_refine_ms", 0)
-        if frame_filter is None:
-            frame_filter = dsc.get("frame_filter", 0)
-        if eps is None:
-            eps = spec_time_step * RATIO * 4
-        if time_per_frame_for_voting is None:
-            time_per_frame_for_voting = spec_time_step
-        if max_length is None:
-            max_length = int(dsc.get("max_length", 448))
-        if dsc.get("split_merged_db") or dsc.get("refine_boundaries_ms"):
-            print("Warning: the checkpoint's fitted split_merged_db/"
-                  "refine_boundaries_ms post-processing needs random access "
-                  "to the raw audio and is skipped in streaming mode; use "
-                  "segment() if it matters more than memory.",
-                  file=sys.stderr)
+            # ----- decode path: same default chain as segment() -----
+            if merge_gap_ms is None:
+                merge_gap_ms = dsc.get("merge_gap_ms", 0)
+            if frame_split is None:
+                frame_split = dsc.get("frame_split", 0)
+            if frame_refine_ms is None:
+                frame_refine_ms = dsc.get("frame_refine_ms", 0)
+            if frame_filter is None:
+                frame_filter = dsc.get("frame_filter", 0)
+            if eps is None:
+                eps = spec_time_step * RATIO * 4
+            if time_per_frame_for_voting is None:
+                time_per_frame_for_voting = spec_time_step
+            if max_length is None:
+                max_length = int(dsc.get("max_length", 448))
+            if dsc.get("split_merged_db") or dsc.get("refine_boundaries_ms"):
+                print("Warning: the checkpoint's fitted split_merged_db/"
+                      "refine_boundaries_ms post-processing needs random access "
+                      "to the raw audio and is skipped in streaming mode; use "
+                      "segment() if it matters more than memory.",
+                      file=sys.stderr)
 
-        clip_duration = self.total_spec_columns * spec_time_step
-        clip_samples = int(clip_duration * sr)
-        frontend = Frontend(sr, spec_time_step, min_frequency)
+            clip_duration = self.total_spec_columns * spec_time_step
+            clip_samples = int(clip_duration * sr)
+            frontend = Frontend(sr, spec_time_step, min_frequency)
 
-        # per-trial carry buffers, pre-seeded with the trial's shifted
-        # zero left-pad — the streaming counterpart of slice_audio_windows
-        # (reference model.py:127-166); window content and meta are identical
-        pad_time, carries, win_count = [], [], []
-        for trial_id in range(num_trials):
-            p = (np.round(clip_duration * trial_id / num_trials
-                          / spec_time_step) * spec_time_step)
-            pad_time.append(p)
-            carries.append(np.zeros(int(p * sr), np.float32))
-            win_count.append(0)
+            # per-trial carry buffers, pre-seeded with the trial's shifted
+            # zero left-pad — the streaming counterpart of slice_audio_windows
+            # (reference model.py:127-166); window content and meta are identical
+            pad_time, carries, win_count = [], [], []
+            for trial_id in range(num_trials):
+                p = (np.round(clip_duration * trial_id / num_trials
+                              / spec_time_step) * spec_time_step)
+                pad_time.append(p)
+                carries.append(np.zeros(int(p * sr), np.float32))
+                win_count.append(0)
 
-        token_lists: List[List[int]] = []
-        meta: List[Tuple[int, float, float]] = []
-        pend_clips: List[np.ndarray] = []
-        pend_meta: List[Tuple[int, float, float]] = []
-        total_samples = 0
-        flush_idx = 0
+            token_lists: List[List[int]] = []
+            meta: List[Tuple[int, float, float]] = []
+            pend_clips: List[np.ndarray] = []
+            pend_meta: List[Tuple[int, float, float]] = []
+            total_samples = 0
+            flush_idx = 0
 
-        def flush(force=False):
-            nonlocal flush_idx
-            while len(pend_clips) >= batch_size or (force and pend_clips):
-                take = pend_clips[:batch_size]
-                del pend_clips[:batch_size]
-                # a distinct seed per flushed batch so sampling paths don't
-                # repeat the same draws (deterministic decodes are unaffected)
-                token_lists.extend(self._generate_tokens(
-                    np.stack(take), frontend, batch_size, max_length,
-                    num_beams, top_k, length_penalty, seed + flush_idx, None,
-                    constrained=constrained, int8_kv=int8_kv, top_p=top_p))
-                meta.extend(pend_meta[:len(take)])
-                del pend_meta[:len(take)]
-                flush_idx += 1
+            # fitted frame post-processing: emit the frame tracks from the
+            # decode pass's own encoder run over trial-0 windows instead of
+            # a second streaming pass over the file (same fusion as
+            # segment(); the speculative fused program doesn't expose the
+            # encoder output, so it keeps the two-pass fallback)
+            use_spec = (getattr(self, "draft", None) is not None
+                        and num_beams <= 1 and top_k <= 1 and not constrained
+                        and top_p >= 1.0 and not int8_kv)
+            need_frames = ((frame_split or frame_refine_ms or frame_filter)
+                           and "frame_head" in self.params)
+            fuse_frames = need_frames and not use_spec
+            probs0_parts: List[np.ndarray] = []
+            cl0_parts: List[np.ndarray] = []
 
-        for chunk in stream:
-            total_samples += len(chunk)
+            def flush(force=False):
+                nonlocal flush_idx
+                while len(pend_clips) >= batch_size or (force and pend_clips):
+                    take = pend_clips[:batch_size]
+                    del pend_clips[:batch_size]
+                    # a distinct seed per flushed batch so sampling paths don't
+                    # repeat the same draws (deterministic decodes are unaffected)
+                    gen = self._generate_tokens(
+                        np.stack(take), frontend, batch_size, max_length,
+                        num_beams, top_k, length_penalty, seed + flush_idx, None,
+                        constrained=constrained, int8_kv=int8_kv, top_p=top_p,
+                        collect_frames=fuse_frames)
+                    take_meta = pend_meta[:len(take)]
+                    if fuse_frames:
+                        tokens, probs, cl = gen
+                        # trial-0 rows arrive in time order across flushes
+                        rows = [i for i, m in enumerate(take_meta)
+                                if m[0] == 0]
+                        if rows:
+                            probs0_parts.append(probs[rows])
+                            cl0_parts.append(cl[rows])
+                    else:
+                        tokens = gen
+                    token_lists.extend(tokens)
+                    meta.extend(take_meta)
+                    del pend_meta[:len(take)]
+                    flush_idx += 1
+
+            for chunk in stream:
+                total_samples += len(chunk)
+                for t in range(num_trials):
+                    buf = (np.concatenate([carries[t], chunk])
+                           if len(carries[t]) else chunk)
+                    nwin = len(buf) // clip_samples
+                    for k in range(nwin):
+                        pend_clips.append(
+                            buf[k * clip_samples:(k + 1) * clip_samples])
+                        pend_meta.append(
+                            (t, win_count[t] * clip_samples / sr - pad_time[t],
+                             clip_samples / sr))
+                        win_count[t] += 1
+                    carries[t] = buf[nwin * clip_samples:].copy()
+                flush()
+                if status_monitor is not None and stream.duration:
+                    status_monitor["progress"] = int(np.round(min(
+                        total_samples / sr / stream.duration, 1.0) * 100))
+
+            # trailing partial window per trial; a trial with no windows at all
+            # (empty audio) still emits one (reference model.py:145-146)
             for t in range(num_trials):
-                buf = (np.concatenate([carries[t], chunk])
-                       if len(carries[t]) else chunk)
-                nwin = len(buf) // clip_samples
-                for k in range(nwin):
-                    pend_clips.append(
-                        buf[k * clip_samples:(k + 1) * clip_samples])
+                if len(carries[t]) or win_count[t] == 0:
+                    tail = np.zeros(clip_samples, np.float32)
+                    tail[: len(carries[t])] = carries[t]
+                    pend_clips.append(tail)
                     pend_meta.append(
                         (t, win_count[t] * clip_samples / sr - pad_time[t],
-                         clip_samples / sr))
-                    win_count[t] += 1
-                carries[t] = buf[nwin * clip_samples:].copy()
-            flush()
-            if status_monitor is not None and stream.duration:
-                status_monitor["progress"] = int(np.round(min(
-                    total_samples / sr / stream.duration, 1.0) * 100))
+                         len(carries[t]) / sr))
+            flush(force=True)
 
-        # trailing partial window per trial; a trial with no windows at all
-        # (empty audio) still emits one (reference model.py:145-146)
-        for t in range(num_trials):
-            if len(carries[t]) or win_count[t] == 0:
-                tail = np.zeros(clip_samples, np.float32)
-                tail[: len(carries[t])] = carries[t]
-                pend_clips.append(tail)
-                pend_meta.append(
-                    (t, win_count[t] * clip_samples / sr - pad_time[t],
-                     len(carries[t]) / sr))
-        flush(force=True)
+            audio_duration = total_samples / sr
+            final = self._parse_generation(
+                token_lists, meta, min_segment_length, audio_duration,
+                spec_time_step, num_trials, eps, time_per_frame_for_voting,
+                consolidation_method,
+            )
+            final = _blur_correct_and_dedup(final, time_delta)
 
-        audio_duration = total_samples / sr
-        final = self._parse_generation(
-            token_lists, meta, min_segment_length, audio_duration,
-            spec_time_step, num_trials, eps, time_per_frame_for_voting,
-            consolidation_method,
-        )
-        final = _blur_correct_and_dedup(final, time_delta)
+            if merge_gap_ms:
+                final = merge_small_gaps(final, gap_s=merge_gap_ms / 1000.0)
 
-        if merge_gap_ms:
-            final = merge_small_gaps(final, gap_s=merge_gap_ms / 1000.0)
+            if need_frames:
+                if fuse_frames:
+                    tracks = _tracks_from_window_frames(
+                        np.concatenate(probs0_parts),
+                        np.concatenate(cl0_parts),
+                        audio_duration, spec_time_step)
+                else:
+                    # speculative fallback: second pass over the file
+                    tracks, _ = self._stream_frame_tracks(
+                        stream, spec_time_step, min_frequency, batch_size)
+                final = apply_frame_postprocess(
+                    final, tracks, time_delta, frame_split=frame_split,
+                    frame_refine_ms=frame_refine_ms, frame_filter=frame_filter,
+                    min_len_s=min_segment_length)
 
-        if ((frame_split or frame_refine_ms or frame_filter)
-                and "frame_head" in self.params):
-            # second pass over the file for the frame tracks — the same
-            # encoder-re-run cost segment() pays for its frame_probs call
-            tracks, _ = self._stream_frame_tracks(
-                stream, spec_time_step, min_frequency, batch_size)
-            final = apply_frame_postprocess(
-                final, tracks, time_delta, frame_split=frame_split,
-                frame_refine_ms=frame_refine_ms, frame_filter=frame_filter,
-                min_len_s=min_segment_length)
-
-        stream.close()
-        return _round_and_rededup(final, self.precision_bits)
+            return _round_and_rededup(final, self.precision_bits)
+        finally:
+            stream.close()
 
     # ------------------------------------------------------------------- parsing
 
@@ -946,12 +1038,32 @@ class Segmenter:
         audio = np.asarray(audio, dtype=np.float32)
         clips, meta = self.slice_audio_windows(audio, sr, spec_time_step, num_trials)
 
+        # Fitted frame post-processing needs the frame tracks; emit them
+        # from the decode pass's own encoder run over the trial-0 windows
+        # (identical to frame_probs' windows) instead of a second full
+        # encoder pass. Speculative decoding uses a different fused program
+        # that doesn't expose the encoder output — it falls back to the
+        # two-pass frame_probs below.
+        use_spec = (getattr(self, "draft", None) is not None
+                    and num_beams <= 1 and top_k <= 1 and not constrained
+                    and top_p >= 1.0 and not int8_kv)
+        need_frames = ((frame_split or frame_refine_ms or frame_filter)
+                       and "frame_head" in self.params)
+        fuse_frames = need_frames and not use_spec
+
         frontend = Frontend(sr, spec_time_step, min_frequency)
-        token_lists = self._generate_tokens(
+        gen = self._generate_tokens(
             clips, frontend, batch_size, max_length, num_beams, top_k,
             length_penalty, seed, status_monitor, constrained=constrained,
-            int8_kv=int8_kv, top_p=top_p,
+            int8_kv=int8_kv, top_p=top_p, collect_frames=fuse_frames,
         )
+        if fuse_frames:
+            token_lists, all_probs, all_cl = gen
+            n0 = sum(1 for m in meta if m[0] == 0)  # trial-0 window count
+            tracks = _tracks_from_window_frames(
+                all_probs[:n0], all_cl[:n0], len(audio) / sr, spec_time_step)
+        else:
+            token_lists = gen
 
         final = self._parse_generation(
             token_lists, meta, min_segment_length, len(audio) / sr,
@@ -973,17 +1085,15 @@ class Segmenter:
             min_len_s=min_segment_length)
 
         # Learned (frame-head) post-processing: split decoder merges at
-        # event-track cuts, snap boundaries to event peaks (refine.py).
-        # COST: frame_probs re-runs the encoder over the audio (a second
-        # pass; the decode call's encoder output is not currently reused),
-        # roughly doubling encoder time when fitted knobs are active. Known
-        # optimization: emit frame probabilities from the fused decode
-        # computation for trial 0 (same windows as frame_probs).
-        if ((frame_split or frame_refine_ms or frame_filter)
-                and "frame_head" in self.params):
-            tracks = self.frame_probs(audio, sr, spec_time_step=spec_time_step,
-                                      min_frequency=min_frequency,
-                                      batch_size=batch_size)
+        # event-track cuts, snap boundaries to event peaks (refine.py). The
+        # tracks normally come for free from the decode pass above
+        # (fuse_frames); only the speculative path pays a second encoder
+        # pass via frame_probs.
+        if need_frames:
+            if not fuse_frames:
+                tracks = self.frame_probs(
+                    audio, sr, spec_time_step=spec_time_step,
+                    min_frequency=min_frequency, batch_size=batch_size)
             final = apply_frame_postprocess(
                 final, tracks, time_delta, frame_split=frame_split,
                 frame_refine_ms=frame_refine_ms, frame_filter=frame_filter,
