@@ -21,7 +21,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", required=True, help="HF checkpoint directory")
     parser.add_argument("--output_dir", required=True)
-    parser.add_argument("--total_spec_columns", type=int, default=1000)
+    parser.add_argument("--total_spec_columns", type=int, default=None,
+                        help="default: the checkpoint's own stamped value "
+                             "(1000 when the config carries none)")
     parser.add_argument("--storage_dtype", default=None,
                         choices=[None, "float32", "bfloat16"],
                         help="checkpoint storage dtype (bfloat16 halves size)")
@@ -29,6 +31,10 @@ def main(argv=None):
     # this framework happens at load time (Segmenter inference_dtype='int8')
     parser.add_argument("--quantization", default=None)
     args = parser.parse_args(argv)
+
+    from whisperseg_tpu.runtime import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
 
     from whisperseg_tpu.checkpoint import save_checkpoint
     from whisperseg_tpu.models.convert_hf import import_hf_checkpoint

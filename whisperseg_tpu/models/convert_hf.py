@@ -318,21 +318,48 @@ def import_hf_checkpoint(model_dir: str,
     cfg.default_segmentation_config = dict(
         raw.get("default_segmentation_config", {}) or {})
     cfg.current_step = int(raw.get("current_step", 0) or 0)
+    if raw.get("whisperseg_compute_dtype"):
+        cfg.compute_dtype = str(raw["whisperseg_compute_dtype"])
+    if raw.get("whisperseg_model_name"):
+        cfg.model_name = str(raw["whisperseg_model_name"])
 
     sd = load_hf_state_dict(model_dir)
     token_map = None
+    stamped = "extra_tokens" in raw
     try:
-        extras, encodings = derive_extra_tokens(
-            model_dir, cfg.cluster_codebook.values())
-        cfg.extra_tokens = list(extras.keys())
-        cfg.cluster_encodings = encodings
+        if stamped:
+            # a checkpoint exported by export_hf stamps its extended-token
+            # layout directly — trust it over re-deriving from merges.txt
+            # (merge re-derivation is for third-party HF checkpoints), and
+            # its embedding matrix is already in OUR id layout so it copies
+            # straight across (token_map stays None), padded rows included
+            cfg.extra_tokens = list(raw.get("extra_tokens") or [])
+            cfg.cluster_encodings = {
+                k: list(v)
+                for k, v in (raw.get("cluster_encodings") or {}).items()}
+        else:
+            extras, encodings = derive_extra_tokens(
+                model_dir, cfg.cluster_codebook.values())
+            cfg.extra_tokens = list(extras.keys())
+            cfg.cluster_encodings = encodings
         if cfg.extra_tokens:
             # extended rows live right after the compact vocab; pad the row
             # count to the next multiple of 128 (one MXU lane tile)
             n = len(cfg.extra_tokens)
             cfg.vocab_size = tok.VOCAB_SIZE + ((n + 127) // 128) * 128
-        token_map = build_token_map(model_dir, cfg.extra_tokens)
+        if not stamped:
+            token_map = build_token_map(model_dir, cfg.extra_tokens)
     except FileNotFoundError:
         pass
     params = params_from_hf_state_dict(sd, cfg, token_map)
+    if raw.get("frame_head") and "frame_head.h1_w" in sd:
+        # the frame head (no HF equivalent) rides along as extra tensors
+        # that transformers ignores; restore it for a lossless round-trip
+        import jax.numpy as jnp
+
+        cfg.frame_head = True
+        cfg.frame_head_clusters = int(raw.get("frame_head_clusters", 0) or 0)
+        params["frame_head"] = {
+            k.split(".", 1)[1]: jnp.asarray(v.astype(np.float32))
+            for k, v in sd.items() if k.startswith("frame_head.")}
     return params, cfg
