@@ -17,7 +17,7 @@ numpy (a device round-trip would cost more than the computation).
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -66,14 +66,24 @@ def _dbscan(dist: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
 
 
 def consolidate_by_clustering(
-    trials: List[Dict[str, list]], eps: float, min_samples: int
+    trials: List[Dict[str, list]], eps: float, min_samples: int,
+    stats: Optional[dict] = None,
 ) -> Dict[str, list]:
-    """DBSCAN consolidation (reference model.py:291-337)."""
+    """DBSCAN consolidation (reference model.py:291-337).
+
+    ``stats`` (optional dict, filled in place) reports cross-trial
+    agreement: ``n_input`` segments across all trials, ``n_noise`` discarded
+    as DBSCAN noise (segments other trials did not reproduce within eps),
+    and ``n_clusters`` surviving. A high noise fraction is the
+    recall-collapse mode of weak models under the reference's production
+    num_trials=3 default (RESULTS.md) — callers can warn on it."""
     onsets, offsets, clusters = [], [], []
     for trial in trials:
         onsets += list(trial["onset"])
         offsets += list(trial["offset"])
         clusters += list(trial["cluster"])
+    if stats is not None:
+        stats.update(n_input=len(onsets), n_noise=0, n_clusters=0)
     if not onsets:
         return {"onset": [], "offset": [], "cluster": []}
 
@@ -104,6 +114,9 @@ def consolidate_by_clustering(
             }
         )
     merged.sort(key=lambda x: x["onset"])
+    if stats is not None:
+        stats["n_noise"] = int(np.sum(labels == -1))
+        stats["n_clusters"] = len(merged)
     return {
         "onset": [m["onset"] for m in merged],
         "offset": [m["offset"] for m in merged],

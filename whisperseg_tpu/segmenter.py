@@ -950,11 +950,41 @@ class Segmenter:
                 }
             )
 
+        # thread-local: segment() runs on the caller's thread even behind a
+        # BatchingSegmenter, so concurrent service requests each see their
+        # own request's consolidation stats
+        tls = self.__dict__.setdefault("_consolidation_tls",
+                                       threading.local())
+        tls.stats = None
         if num_trials == 1:
             final = trials_results[0]
         elif consolidation_method == "clustering":
             min_samples = max(2, int(np.ceil(num_trials * 0.5)))
-            final = consolidate_by_clustering(trials_results, eps, min_samples)
+            stats = {}
+            final = consolidate_by_clustering(trials_results, eps, min_samples,
+                                              stats=stats)
+            stats["noise_fraction"] = (stats["n_noise"] / stats["n_input"]
+                                       if stats["n_input"] else 0.0)
+            # gate scales with num_trials: even sparse audio (>=2 segments
+            # per trial on average) can exhibit the collapse — observed on a
+            # real fixture with 6 input segments all discarded
+            stats["low_agreement"] = (stats["n_input"] >= 2 * num_trials
+                                      and stats["noise_fraction"] > 0.5)
+            tls.stats = stats
+            if stats["low_agreement"]:
+                # the recall-collapse mode: trials disagree so much that
+                # DBSCAN discards most segments as noise (RESULTS.md —
+                # frame F1 0.41 at trials=3 vs 0.71 at trials=1 on a weak
+                # model). Reference anchor: model.py:291-337.
+                import warnings
+
+                warnings.warn(
+                    f"multi-trial consolidation discarded "
+                    f"{stats['n_noise']}/{stats['n_input']} segments "
+                    f"({stats['noise_fraction']:.0%}) as cross-trial "
+                    f"disagreement — the model's predictions are unstable "
+                    f"under window shifts; num_trials=1 will likely have "
+                    f"much better recall", stacklevel=2)
         else:
             final = consolidate_by_voting(
                 trials_results, time_per_frame_for_voting, self.cluster_codebook
@@ -965,6 +995,16 @@ class Segmenter:
         return final
 
     # ---------------------------------------------------------------- public API
+
+    @property
+    def last_consolidation_stats(self) -> Optional[dict]:
+        """Cross-trial agreement stats of THIS thread's most recent
+        ``segment()`` call with ``num_trials > 1`` and clustering
+        consolidation (None otherwise): ``n_input`` / ``n_noise`` /
+        ``n_clusters`` / ``noise_fraction`` / ``low_agreement``. Thread-local
+        so concurrent service requests don't read each other's stats."""
+        tls = self.__dict__.get("_consolidation_tls")
+        return getattr(tls, "stats", None) if tls is not None else None
 
     def segment(
         self,

@@ -62,7 +62,16 @@ class BatchingSegmenter(Segmenter):
     def _generate_tokens(self, clips, frontend, batch_size, max_length,
                          num_beams, top_k, length_penalty, seed,
                          status_monitor, constrained=False, int8_kv=False,
-                         top_p=1.0):
+                         top_p=1.0, collect_frames=False):
+        if collect_frames:
+            # the fused decode+frame-head program returns per-request frame
+            # tracks that cannot be regrouped across fused batches; run it
+            # directly on the caller's thread (same serialization contract
+            # as frame_probs — Segmenter's per-instance frame lock)
+            return super()._generate_tokens(
+                clips, frontend, batch_size, max_length, num_beams, top_k,
+                length_penalty, seed, status_monitor, constrained=constrained,
+                int8_kv=int8_kv, top_p=top_p, collect_frames=True)
         # seed participates in the grouping key: the worker decodes a fused
         # group with the HEAD item's seed, so two sampled requests with
         # different explicit seeds must not share a batch (greedy requests —

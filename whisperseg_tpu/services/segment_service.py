@@ -75,6 +75,8 @@ def build_app(segmenter, batch_size: int = 8,
 
         with sem:
             adobe = False
+            info = {}
+            stats = None
             try:
                 info = {k: v for k, v in req.json.items() if v is not None}
                 audio_b64 = info["audio_file_base64_string"]
@@ -117,12 +119,24 @@ def build_app(segmenter, batch_size: int = 8,
                         frame_refine_ms=info.get("frame_refine_ms", None),
                         frame_filter=info.get("frame_filter", None),
                     )
+                    stats = getattr(segmenter, "last_consolidation_stats",
+                                    None)
             except Exception:
                 print("Segmentation Error! Returning an empty prediction ...")
                 prediction = {"onset": [], "offset": [], "cluster": []}
                 adobe = False
             if adobe:
                 prediction = adobe_audition_format(prediction)
+            # additive response metadata (reference schema keeps its keys):
+            # surface cross-trial disagreement so clients learn when the
+            # production num_trials=3 default is collapsing recall
+            if stats and stats.get("low_agreement"):
+                prediction = dict(prediction)
+                prediction["warnings"] = [
+                    f"low cross-trial agreement: consolidation discarded "
+                    f"{stats['n_noise']}/{stats['n_input']} segments "
+                    f"({stats['noise_fraction']:.0%}); consider "
+                    f"num_trials=1"]
             return prediction, 201
 
     @app.route("/status", methods=["GET"])
