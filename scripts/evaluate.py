@@ -45,6 +45,11 @@ def main(argv=None):
     parser.add_argument("--frame_filter", type=float, default=None,
                         help="opt-in frame-head hallucination filter (min "
                              "mean vocal prob 0..1; needs --frame_head model)")
+    parser.add_argument("--ignore_cluster", type=int, default=0,
+                        help="1: flatten label clusters to 'Vocal' before "
+                             "scoring — use when evaluating a VAD model "
+                             "trained with --ignore_cluster 1 against "
+                             "clustered labels")
     parser.add_argument("--frame_mode", type=int, default=0,
                         help="1: score the decoder-free frame-VAD path "
                              "(Segmenter.segment_from_frames; requires a "
@@ -60,6 +65,7 @@ def main(argv=None):
         refine_boundaries_ms=args.refine_boundaries_ms,
         split_merged_db=args.split_merged_db,
         merge_gap_ms=args.merge_gap_ms,
+        ignore_cluster=bool(args.ignore_cluster),
         frame_mode=bool(args.frame_mode),
         frame_split=args.frame_split,
         frame_refine_ms=args.frame_refine_ms,

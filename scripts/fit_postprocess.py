@@ -53,6 +53,10 @@ def main(argv=None):
     ap.add_argument("--write", type=int, default=0,
                     help="1: store the fitted params in the checkpoint's "
                          "default_segmentation_config (config.json)")
+    ap.add_argument("--ignore_cluster", type=int, default=0,
+                    help="1: flatten label clusters to 'Vocal' before "
+                         "scoring (fit a VAD model trained with "
+                         "--ignore_cluster 1 on clustered labels)")
     args = ap.parse_args(argv)
 
     from whisperseg_tpu.runtime import respect_jax_platforms_env
@@ -73,7 +77,7 @@ def main(argv=None):
     preds, labels, audios, srs = [], [], [], []
     tracks, deltas = ([] if has_head else None), ([] if has_head else None)
     for ap_, lp in zip(audio_paths, label_paths):
-        label = read_label(lp)
+        label = read_label(lp, ignore_cluster=bool(args.ignore_cluster))
         audio, sr = load_audio(ap_, sr=label.get("sr", None))
         label["sr"] = sr
         pred = seg.segment(

@@ -106,6 +106,37 @@ def test_evaluate_dataset_structure(tmp_path):
     assert res["segment_wise_scores"]["N-positive-in-ground-truth"] == 1
 
 
+def test_evaluate_dataset_ignore_cluster(tmp_path, monkeypatch):
+    """ignore_cluster=True flattens clustered labels to 'Vocal' so a VAD
+    model (codebook {'Vocal': 0}) can score against per-syllable labels —
+    without it, cluster-name mismatch zeroes both segment and frame TP
+    (observed on the multi-species generalist vs zebra_finch_0 labels)."""
+    from whisperseg_tpu.evaluate import evaluate_dataset
+    from whisperseg_tpu.segmenter import Segmenter
+
+    ckpt = tiny_ckpt(tmp_path)
+    data = tmp_path / "data"
+    data.mkdir()
+    write_wav(data / "x.wav", np.random.RandomState(1).randn(8000) * 0.1)
+    json.dump({"onset": [0.1], "offset": [0.3],
+               "cluster": ["zebra_finch_0"],  # clustered label, VAD model
+               "sr": 16000, "spec_time_step": 0.01},
+              open(data / "x.json", "w"))
+
+    # the model predicts exactly the labeled segment as 'Vocal'
+    def fake_segment(self, audio, sr, **kw):
+        return {"onset": [0.1], "offset": [0.3], "cluster": ["Vocal"]}
+
+    monkeypatch.setattr(Segmenter, "segment", fake_segment)
+    kw = dict(num_trials=1, num_beams=1, max_length=16, batch_size=2)
+    mismatched = evaluate_dataset(str(data), ckpt, **kw)
+    flattened = evaluate_dataset(str(data), ckpt, ignore_cluster=True, **kw)
+    assert mismatched["segment_wise_scores"]["N-true-positive"] == 0
+    assert mismatched["frame_wise_scores"]["N-true-positive"] == 0
+    assert flattened["segment_wise_scores"]["N-true-positive"] == 1
+    assert flattened["frame_wise_scores"]["N-true-positive"] > 0
+
+
 def test_convert_hf_cli(tmp_path):
     torch = pytest.importorskip("torch")
     from transformers import WhisperConfig as HFConfig

@@ -80,14 +80,20 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      refine_boundaries_ms=None, split_merged_db=None,
                      merge_gap_ms=None, frame_mode: bool = False,
                      frame_split=None, frame_refine_ms=None, frame_filter=None,
-                     **kwargs):
-    """(reference evaluate.py:53-84)"""
+                     ignore_cluster: bool = False, **kwargs):
+    """(reference evaluate.py:53-84)
+
+    ``ignore_cluster=True`` flattens label clusters to "Vocal" (via
+    ``read_label``'s reference semantics, datautils.py:19-42) — required when
+    scoring a VAD model trained with ``--ignore_cluster 1`` (e.g. the
+    multi-species generalist) against per-syllable-clustered labels, since
+    both segment and frame scores match cluster names exactly."""
     from .segmenter import Segmenter
 
     audio_list, label_list = [], []
     audio_paths, label_paths = get_audio_and_label_paths(dataset_folder)
     for audio_path, label_path in zip(audio_paths, label_paths):
-        label = read_label(label_path)
+        label = read_label(label_path, ignore_cluster=ignore_cluster)
         audio, sr = load_audio(audio_path, sr=label.get("sr", None))
         label["sr"] = sr
         audio_list.append(audio)
