@@ -45,6 +45,10 @@ SPEC_TIME_STEP = 0.0025
 
 
 MODEL_PATH = os.environ.get("BENCH_MODEL_PATH")  # real checkpoint (optional)
+# BENCH_DP=N: run data-parallel over an N-device mesh (weights replicated,
+# window batch sharded over the "data" axis) — on a real multi-chip slice
+# this measures dp scaling with zero code changes; BATCH must divide by N.
+BENCH_DP = int(os.environ.get("BENCH_DP", "1"))
 EARLY_EXIT = os.environ.get("BENCH_EARLY_EXIT", "0") == "1"
 # BENCH_FRAME_MODE=1: the decoder-free frame-VAD segmentation path
 # (Segmenter.segment_from_frames) — one encoder pass + frame-head logits per
@@ -91,6 +95,18 @@ def main():
             "bfloat16")
     else:
         params = jax.tree.map(lambda x: x.astype(jnp.dtype(quant)), params)
+
+    mesh = None
+    if BENCH_DP > 1:
+        from whisperseg_tpu.parallel import (batch_sharding, make_mesh,
+                                             replicated)
+
+        if BATCH % BENCH_DP:
+            raise SystemExit(f"BENCH_BATCH={BATCH} not divisible by "
+                             f"BENCH_DP={BENCH_DP}")
+        mesh = make_mesh(BENCH_DP)
+        params = jax.device_put(params, replicated(mesh))
+        batch_shard = batch_sharding(mesh)
 
     clip_duration = 1000 * SPEC_TIME_STEP  # 2.5 s per window
     clip_samples = int(clip_duration * SR)
@@ -164,6 +180,9 @@ def main():
             for _ in range(num_windows // BATCH)
         ]
 
+    if mesh is not None:
+        batches = [jax.device_put(b, batch_shard) for b in batches]
+
     def one_pass():
         t0 = time.perf_counter()
         total_tokens = 0
@@ -194,6 +213,7 @@ def main():
         # default is the reference's own architecture (apples-to-apples);
         # BENCH_GQA=4 measures the beyond-reference GQA configuration
         "config": (f"whisper-{model_name} {arch} {quant} batch={BATCH} "
+                   + (f"dp={BENCH_DP} " if BENCH_DP > 1 else "")
                    + ("frame-VAD (decoder-free)" if FRAME_MODE else
                       f"greedy max_length={MAX_LENGTH} "
                       + ("early-exit real-ckpt" if EARLY_EXIT and MODEL_PATH
