@@ -7,11 +7,14 @@ no librosa/soundfile/ffmpeg, so:
 
   * FLAC decodes through the from-scratch codec in ``audio/flac.py``
     (pure numpy, no dependencies, bit-exact — see tests/test_audio_formats.py).
-  * MP3 and Ogg Vorbis decode through SDL2_mixer (the ``pygame`` package) when
-    present, initialized at the file's NATIVE sample rate — parsed here from
-    the MPEG frame header / Vorbis identification header — so SDL performs no
-    hidden resampling. Absent pygame, a clear error names the formats that
-    remain available.
+  * Ogg Vorbis decodes through the from-scratch decoder in ``audio/vorbis.py``
+    (pure numpy, no dependencies, verified against libvorbisfile — see
+    tests/test_vorbis.py); non-Vorbis Ogg payloads (e.g. Opus) fall back to
+    SDL2_mixer when present.
+  * MP3 decodes through SDL2_mixer (the ``pygame`` package) when present,
+    initialized at the file's NATIVE sample rate — parsed here from the MPEG
+    frame header — so SDL performs no hidden resampling. Absent pygame, a
+    clear error names the formats that remain available.
 
 Header probes (`sniff_format`, `probe_sampling_rate`, `probe_duration`) are
 pure Python and dependency-free for all four formats, replacing the
@@ -230,12 +233,25 @@ def decode_compressed(path_or_bytes, fmt: Optional[str] = None
         from .flac import decode_flac
 
         return decode_flac(data)
+    if fmt == "ogg":
+        from .vorbis import VorbisError, decode_ogg_vorbis
+
+        try:
+            pcm, sr = decode_ogg_vorbis(data)
+            # lossy float decode can overshoot +-1 (libvorbisfile's float
+            # path does too); clip to the pipeline's int16-era invariant
+            return np.clip(pcm, -1.0, 1.0), sr
+        except VorbisError:
+            # non-Vorbis Ogg payload (Opus/FLAC-in-Ogg) or an unsupported
+            # corner (floor type 0): try the SDL fallback below
+            if not _sdl_available():
+                raise
     if fmt in ("mp3", "ogg"):
         if not _sdl_available():
             raise RuntimeError(
                 f"cannot decode {fmt}: no decoder backend available "
-                f"(install pygame/SDL2_mixer, or convert to wav/flac — both "
-                f"decode natively)")
+                f"(install pygame/SDL2_mixer, or convert to wav/flac/ogg — "
+                f"all three decode natively)")
         try:
             info = mp3_stream_info(data) if fmt == "mp3" \
                 else ogg_stream_info(data)
