@@ -26,7 +26,10 @@ def main(argv=None):
     respect_jax_platforms_env()
 
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--model_path", default=None,
+                        help="checkpoint path or built-in model name; "
+                             "default = the shipped multi-species generalist "
+                             "(pretrained/whisperseg-base-animal-vad)")
     parser.add_argument("--dataset_root",
                         default="/root/reference/data/example_subset",
                         help="root with per-species subfolders of paired "
@@ -52,6 +55,14 @@ def main(argv=None):
     from whisperseg_tpu.data import get_audio_and_label_paths, read_label
     from whisperseg_tpu.segmenter import Segmenter
 
+    if args.model_path is None:
+        from whisperseg_tpu.hub import default_pretrained_model
+
+        args.model_path = default_pretrained_model()
+        if args.model_path is None:
+            raise SystemExit("no --model_path given and no built-in model "
+                             "under pretrained/ — train one or pass a path")
+        print(f"using the shipped default model: {args.model_path}")
     segmenter = Segmenter.from_pretrained(
         args.model_path, inference_dtype=args.compute_type)
 

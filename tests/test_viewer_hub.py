@@ -62,6 +62,29 @@ def test_download_model_miss_raises(tmp_path, monkeypatch):
         download_model("definitely/not-a-model-xyz")
 
 
+def test_builtin_model_resolution(tmp_path, monkeypatch):
+    """Built-in names resolve to checkpoints shipped under pretrained/
+    (counterpart of the reference's hardcoded ready entries,
+    reference scripts/backend.py:368-375)."""
+    import whisperseg_tpu.hub as hub
+
+    root = tmp_path / "pretrained"
+    ckpt = root / "whisperseg-base-animal-vad"
+    ckpt.mkdir(parents=True)
+    (ckpt / "config.json").write_text("{}")
+    (root / "not-a-model").mkdir()  # no config.json -> not listed
+    monkeypatch.setattr(hub, "pretrained_dir", lambda: str(root))
+    assert hub.builtin_models() == {
+        "whisperseg-base-animal-vad": str(ckpt)}
+    assert hub.download_model("whisperseg-base-animal-vad") == str(ckpt)
+    assert hub.default_pretrained_model() == str(ckpt)
+    # absent directory -> empty, default None
+    monkeypatch.setattr(hub, "pretrained_dir",
+                        lambda: str(tmp_path / "missing"))
+    assert hub.builtin_models() == {}
+    assert hub.default_pretrained_model() is None
+
+
 def test_viewer_save_with_frame_tracks(tmp_path):
     """The frame-head probability strips render into the saved figure."""
     import numpy as np

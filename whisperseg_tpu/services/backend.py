@@ -393,8 +393,17 @@ def main(argv=None):
                              "(default: no limit)")
     args = parser.parse_args(argv)
 
+    # ready-to-use entries shipped in-repo (counterpart of the reference's
+    # hardcoded hub models, reference scripts/backend.py:368-375): available
+    # for BOTH inference and finetuning, like the reference's
+    from ..hub import builtin_models
+
+    pretrained = [{"model_name": name, "inference_model_path": path,
+                   "finetune_model_path": path}
+                  for name, path in builtin_models().items()]
     state = BackendState(args.dataset_base_folder, args.model_base_folder,
                          args.max_num_segmenters_in_ram,
+                         pretrained_models=pretrained,
                          inference_dtype=args.compute_type,
                          training_timeout=args.training_timeout)
     threading.Thread(target=state.run_training_worker, daemon=True).start()
