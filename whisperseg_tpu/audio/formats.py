@@ -11,10 +11,11 @@ no librosa/soundfile/ffmpeg, so:
     (pure numpy, no dependencies, verified against libvorbisfile — see
     tests/test_vorbis.py); non-Vorbis Ogg payloads (e.g. Opus) fall back to
     SDL2_mixer when present.
-  * MP3 decodes through SDL2_mixer (the ``pygame`` package) when present,
-    initialized at the file's NATIVE sample rate — parsed here from the MPEG
-    frame header — so SDL performs no hidden resampling. Absent pygame, a
-    clear error names the formats that remain available.
+  * MP3 decodes through the system libmpg123 via ctypes (``audio/mpg123.py``,
+    no Python package needed) when present, else through SDL2_mixer (the
+    ``pygame`` package), initialized at the file's NATIVE sample rate —
+    parsed here from the MPEG frame header — so no hidden resampling occurs.
+    Absent both, a clear error names the formats that remain available.
 
 Header probes (`sniff_format`, `probe_sampling_rate`, `probe_duration`) are
 pure Python and dependency-free for all four formats, replacing the
@@ -246,12 +247,21 @@ def decode_compressed(path_or_bytes, fmt: Optional[str] = None
             # corner (floor type 0): try the SDL fallback below
             if not _sdl_available():
                 raise
+    if fmt == "mp3":
+        from . import mpg123
+
+        if mpg123.available():
+            try:
+                return mpg123.decode_mp3(data)
+            except RuntimeError:
+                if not _sdl_available():
+                    raise
     if fmt in ("mp3", "ogg"):
         if not _sdl_available():
             raise RuntimeError(
                 f"cannot decode {fmt}: no decoder backend available "
-                f"(install pygame/SDL2_mixer, or convert to wav/flac/ogg — "
-                f"all three decode natively)")
+                f"(install libmpg123 or pygame/SDL2_mixer for mp3, or "
+                f"convert to wav/flac/ogg — all three decode natively)")
         try:
             info = mp3_stream_info(data) if fmt == "mp3" \
                 else ogg_stream_info(data)
