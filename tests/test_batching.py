@@ -98,3 +98,29 @@ def test_batched_error_propagates(pair):
     out = batched.segment(audio, 16000, spec_time_step=0.01, max_length=16,
                           num_beams=1)
     assert set(out) == {"onset", "offset", "cluster"}
+
+
+def test_collect_frames_bypasses_fusion():
+    """The fused decode+frame-head program returns per-request frame tracks
+    that cannot be regrouped across fused batches, so collect_frames=True
+    must take the direct (non-batching) path and return the identical
+    (tokens, probs, clusters) triple as a plain Segmenter."""
+    cfg = tiny_cfg()
+    cfg.frame_head = True
+    cfg.frame_head_clusters = 1
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    plain = Segmenter(params, cfg, inference_dtype=None)
+    batched = BatchingSegmenter(params, cfg, inference_dtype=None,
+                                max_batch_size=8, max_wait_ms=20)
+    from whisperseg_tpu.audio.frontend import Frontend
+
+    frontend = Frontend(16000, 0.01, 0)
+    clips = (np.random.RandomState(2).randn(3, 16000) * 0.1
+             ).astype(np.float32)
+    t1, p1, c1 = plain._generate_tokens(
+        clips, frontend, 4, 16, 1, 1, 1.0, 0, None, collect_frames=True)
+    t2, p2, c2 = batched._generate_tokens(
+        clips, frontend, 4, 16, 1, 1, 1.0, 0, None, collect_frames=True)
+    assert t1 == t2
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(c1, c2)
