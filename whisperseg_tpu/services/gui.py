@@ -270,6 +270,13 @@ def main(argv=None):
                         choices=["float32", "bfloat16", "int8", "int4"])
     args = parser.parse_args(argv)
 
+    if not args.model_path and not args.backend_address:
+        # neither mode selected: serve the shipped default model standalone
+        from ..hub import default_pretrained_model
+
+        args.model_path = default_pretrained_model()
+        if args.model_path:
+            print(f"using the shipped default model: {args.model_path}")
     segmenter = None
     if args.model_path:
         from ..segmenter import Segmenter

@@ -154,7 +154,9 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", "--flask_port", dest="port", default=8050, type=int)
-    parser.add_argument("--model_path")
+    parser.add_argument("--model_path", default=None,
+                        help="checkpoint path or built-in model name; "
+                             "default = the shipped multi-species generalist")
     parser.add_argument("--device", default="tpu", help="accepted for compat")
     parser.add_argument("--device_ids", type=int, nargs="+", default=[0])
     parser.add_argument("--batch_size", default=8, type=int)
@@ -173,6 +175,15 @@ def main(argv=None):
                         help="serving weight precision (int8 = CT2 "
                              "int8_float16 counterpart; int4 = w4a16)")
     args = parser.parse_args(argv)
+
+    if args.model_path is None:
+        from ..hub import default_pretrained_model
+
+        args.model_path = default_pretrained_model()
+        if args.model_path is None:
+            raise SystemExit("no --model_path given and no built-in model "
+                             "under pretrained/ — train one or pass a path")
+        print(f"using the shipped default model: {args.model_path}")
 
     if args.continuous_batching:
         from .batching import BatchingSegmenter
