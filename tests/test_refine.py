@@ -466,7 +466,17 @@ def test_segment_uses_frame_postprocess_with_head(monkeypatch):
     from whisperseg_tpu.constants import fft_time_delta
     delta = fft_time_delta(sr)
     tr = _tracks(T=50, q=q, onset={12: 1.0}, offset={19: 1.0})
-    monkeypatch.setattr(type(seg), "frame_probs", lambda self, *a, **k: tr)
+    # segment() now emits frame tracks from the decode pass itself (the
+    # fused path — no frame_probs re-encode); inject the crafted tracks at
+    # the fused assembly seam
+    import whisperseg_tpu.segmenter as seg_mod
+
+    monkeypatch.setattr(seg_mod, "_tracks_from_window_frames",
+                        lambda *a, **k: tr)
+    # and fail loudly if the two-pass fallback re-runs the encoder
+    monkeypatch.setattr(type(seg), "frame_probs",
+                        lambda self, *a, **k: pytest.fail(
+                            "two-pass frame_probs used despite fused path"))
     # bypass the decoder: force a raw prediction at grid 10/20
     monkeypatch.setattr(
         type(seg), "_parse_generation",
@@ -612,11 +622,15 @@ def test_segment_applies_checkpoint_default_frame_knobs(monkeypatch):
               "offset": np.zeros(50, np.float32),
               "cluster": np.zeros(50, np.int32), "quantum": 0.02}
 
-    def spy(self, *a, **k):
+    def spy(*a, **k):
         calls.append(1)
         return tracks
 
-    monkeypatch.setattr(type(seg), "frame_probs", spy)
+    # segment() emits tracks from the decode pass (fused path); the frame
+    # post-processing activating == the fused assembly seam being hit
+    import whisperseg_tpu.segmenter as seg_mod
+
+    monkeypatch.setattr(seg_mod, "_tracks_from_window_frames", spy)
     y = make_bursts([(0.2, 0.4)], sr=16000, duration=1.0)
     common = dict(sr=16000, spec_time_step=0.01, num_trials=1, num_beams=1,
                   max_length=16, batch_size=2)
@@ -664,7 +678,12 @@ def test_segment_dedups_after_frame_snap(monkeypatch):
     from whisperseg_tpu.constants import fft_time_delta
     delta = fft_time_delta(sr)
     tr = _tracks(T=50, q=q, onset={12: 1.0}, offset={20: 1.0})
-    monkeypatch.setattr(type(seg), "frame_probs", lambda self, *a, **k: tr)
+    # inject at the fused-path assembly seam (segment() emits tracks from
+    # the decode pass; frame_probs is no longer called)
+    import whisperseg_tpu.segmenter as seg_mod
+
+    monkeypatch.setattr(seg_mod, "_tracks_from_window_frames",
+                        lambda *a, **k: tr)
     # two distinct decoded segments that will both snap to peaks 12/20
     monkeypatch.setattr(
         type(seg), "_parse_generation",
