@@ -54,6 +54,11 @@ def main(argv=None):
                         help="1: score the decoder-free frame-VAD path "
                              "(Segmenter.segment_from_frames; requires a "
                              "model trained with --frame_head)")
+    parser.add_argument("--frame_vocal_threshold", type=float, default=None,
+                        help="frame-mode vocal threshold override (default: "
+                             "per-label value, else the checkpoint's fitted)")
+    parser.add_argument("--frame_cut_threshold", type=float, default=None)
+    parser.add_argument("--frame_boundary_snap", type=int, default=None)
     args = parser.parse_args(argv)
 
     from whisperseg_tpu.evaluate import evaluate_dataset
@@ -67,6 +72,9 @@ def main(argv=None):
         merge_gap_ms=args.merge_gap_ms,
         ignore_cluster=bool(args.ignore_cluster),
         frame_mode=bool(args.frame_mode),
+        frame_vocal_threshold=args.frame_vocal_threshold,
+        frame_cut_threshold=args.frame_cut_threshold,
+        frame_boundary_snap=args.frame_boundary_snap,
         frame_split=args.frame_split,
         frame_refine_ms=args.frame_refine_ms,
         frame_filter=args.frame_filter,

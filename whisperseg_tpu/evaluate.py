@@ -27,13 +27,19 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
         iterator = tqdm(iterator, total=len(audio_list))
     for audio, label in iterator:
         if frame_mode:
-            # decoder-free frame-VAD path (requires --frame_head training)
+            # decoder-free frame-VAD path (requires --frame_head training);
+            # vocal/cut/snap default to the checkpoint's fitted values, with
+            # per-label overrides (the presets file may carry per-species
+            # thresholds, reference config/segment_config.json pattern)
             prediction = segmenter.segment_from_frames(
                 audio,
                 sr=label["sr"],
                 min_frequency=label.get("min_frequency", None),
                 spec_time_step=label.get("spec_time_step", None),
                 batch_size=batch_size,
+                vocal_threshold=label.get("frame_vocal_threshold", None),
+                cut_threshold=label.get("frame_cut_threshold", None),
+                boundary_snap=label.get("frame_boundary_snap", None),
             )
         else:
             prediction = segmenter.segment(
@@ -80,7 +86,9 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      refine_boundaries_ms=None, split_merged_db=None,
                      merge_gap_ms=None, frame_mode: bool = False,
                      frame_split=None, frame_refine_ms=None, frame_filter=None,
-                     ignore_cluster: bool = False, **kwargs):
+                     ignore_cluster: bool = False,
+                     frame_vocal_threshold=None, frame_cut_threshold=None,
+                     frame_boundary_snap=None, **kwargs):
     """(reference evaluate.py:53-84)
 
     ``ignore_cluster=True`` flattens label clusters to "Vocal" (via
@@ -96,6 +104,12 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
         label = read_label(label_path, ignore_cluster=ignore_cluster)
         audio, sr = load_audio(audio_path, sr=label.get("sr", None))
         label["sr"] = sr
+        # explicit frame-mode threshold overrides (else labels/checkpoint)
+        for key, val in (("frame_vocal_threshold", frame_vocal_threshold),
+                         ("frame_cut_threshold", frame_cut_threshold),
+                         ("frame_boundary_snap", frame_boundary_snap)):
+            if val is not None:
+                label[key] = val
         audio_list.append(audio)
         label_list.append(label)
 
