@@ -84,10 +84,13 @@ def encode_ogg(pcm: np.ndarray, sr: int, quality: float = 0.4) -> bytes:
         if chunk > 0:
             buf = vorbis.vorbis_analysis_buffer(vd, C.c_int(chunk))
             for c in range(ch):
-                C.memmove(buf[c],
-                          np.ascontiguousarray(pcm[pos:pos + chunk, c],
-                                               np.float32).ctypes.data,
-                          chunk * 4)
+                # keep the contiguous copy alive through the memmove — an
+                # inline temporary's .ctypes.data can dangle (observed as
+                # intermittent garbage input)
+                col = np.ascontiguousarray(pcm[pos:pos + chunk, c],
+                                           np.float32)
+                C.memmove(buf[c], col.ctypes.data, chunk * 4)
+                del col
         vorbis.vorbis_analysis_wrote(vd, C.c_int(max(chunk, 0)))
         pos += chunk
         while vorbis.vorbis_analysis_blockout(vd, vb) == 1:
