@@ -72,7 +72,7 @@ FRAME_MODE = os.environ.get("BENCH_FRAME_MODE", "0") == "1"
 
 
 def main():
-    global BATCH
+    global BATCH, MAX_LENGTH
     # honor an explicit JAX_PLATFORMS=cpu (the axon PJRT plugin overrides the
     # env var; this re-asserts it) — used for CPU smoke runs of the bench
     from whisperseg_tpu.runtime import respect_jax_platforms_env
@@ -100,6 +100,8 @@ def main():
                 early_exit = True  # production decode: stop at EOT
             if "BENCH_BATCH" not in os.environ:
                 BATCH = 384  # base-size weights amortize at large batch
+            if "BENCH_MAX_LENGTH" not in os.environ:
+                MAX_LENGTH = 0  # resolved to the trained budget below
             if audio_path is None:
                 # real audio so early-exit measures real transcript lengths
                 zf = ("/root/reference/data/example_subset/Zebra_finch/"
@@ -117,6 +119,11 @@ def main():
         from whisperseg_tpu.checkpoint import load_checkpoint
 
         params, cfg = load_checkpoint(model_path)
+        if MAX_LENGTH == 0:
+            # the checkpoint's trained token budget (stamped by train.py) —
+            # early-exit stops at EOT, so this is a cap, not the cost
+            MAX_LENGTH = int(cfg.default_segmentation_config.get(
+                "max_length", 448))
     else:
         cfg = make_config(MODEL_SIZE, total_spec_columns=1000,
                           num_kv_heads=GQA_KV_HEADS or 0,
