@@ -172,15 +172,19 @@ class Segmenter:
         WhisperSeg finetune (reference model.py:625-644)."""
         import os
 
-        if os.path.exists(os.path.join(model_path, "params.npz")):
+        from .hub import download_model
+
+        # resolve names (built-in models, cache entries) to a directory
+        # FIRST, then dispatch on its contents
+        resolved = (model_path if os.path.isdir(model_path)
+                    else download_model(model_path))
+        if os.path.exists(os.path.join(resolved, "params.npz")):
             from .checkpoint import load_checkpoint
 
-            params, config = load_checkpoint(model_path)
+            params, config = load_checkpoint(resolved)
         else:
-            from .hub import download_model
             from .models.convert_hf import import_hf_checkpoint
 
-            resolved = download_model(model_path)
             params, config = import_hf_checkpoint(resolved,
                                                   total_spec_columns=None)
         return cls(params, config, inference_dtype=inference_dtype)
