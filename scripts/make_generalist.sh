@@ -75,6 +75,28 @@ cp /tmp/mk/test/*  /tmp/gen/test_mk/
 # ---- synthetic 300 kHz mouse USVs (train only; eval uses /tmp/ms/test)
 cp /tmp/ms/train/* /tmp/gen/train/
 
+# ---- optional oversampling (v2 recipe): duplicate the under-represented
+# species' training files so the slice sampler sees them proportionally
+# more often. The shipped v1 model under-fires exactly where training audio
+# is scarce (canary 16 s = 3%, meerkat 54 s = 11% of the pool; RESULTS.md
+# "Round-3 generalist"), so v2 rebalances by copy-count. Copies carry the
+# label JSON (per-file frontend configs ride inside it), so duplicates are
+# exact resamples of the same distribution — no augmentation implied.
+#   OVERSAMPLE_CANARY=6 OVERSAMPLE_MEERKAT=3 scripts/make_generalist.sh
+dup () { # dup <glob-prefix> <extra-copies>
+    local prefix=$1 extra=$2 f b i
+    for f in /tmp/gen/train/${prefix}*.wav; do
+        [ -e "$f" ] || continue
+        b="${f%.wav}"
+        for i in $(seq 1 "$extra"); do
+            cp "$f" "${b}_os${i}.wav"
+            cp "${b}.json" "${b}_os${i}.json"
+        done
+    done
+}
+[ "${OVERSAMPLE_CANARY:-0}" -gt 0 ] && dup llb "$OVERSAMPLE_CANARY"
+[ "${OVERSAMPLE_MEERKAT:-0}" -gt 0 ] && for p in VAL VLM ZIP; do dup "$p" "$OVERSAMPLE_MEERKAT"; done
+
 echo "generalist dataset:"
 for d in /tmp/gen/train /tmp/gen/test_zf /tmp/gen/test_zfj /tmp/gen/test_cn /tmp/gen/test_mk; do
     echo "  $d: $(ls $d/*.wav 2>/dev/null | wc -l) wavs"
