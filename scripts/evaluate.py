@@ -59,6 +59,12 @@ def main(argv=None):
                              "per-label value, else the checkpoint's fitted)")
     parser.add_argument("--frame_cut_threshold", type=float, default=None)
     parser.add_argument("--frame_boundary_snap", type=int, default=None)
+    parser.add_argument("--label_tolerance", type=int, default=0,
+                        help="1: score with each label's own 'tolerance' / "
+                             "'time_per_frame_for_scoring' fields instead of "
+                             "the reference default (model spec_time_step*4) "
+                             "— matches the objective the fit_* scripts "
+                             "optimize")
     args = parser.parse_args(argv)
 
     from whisperseg_tpu.evaluate import evaluate_dataset
@@ -78,6 +84,7 @@ def main(argv=None):
         frame_split=args.frame_split,
         frame_refine_ms=args.frame_refine_ms,
         frame_filter=args.frame_filter,
+        label_tolerance=bool(args.label_tolerance),
     )
     print(json.dumps(res, indent=2))
 

@@ -137,6 +137,35 @@ def test_evaluate_dataset_ignore_cluster(tmp_path, monkeypatch):
     assert flattened["frame_wise_scores"]["N-true-positive"] > 0
 
 
+def test_evaluate_dataset_label_tolerance(tmp_path, monkeypatch):
+    """label_tolerance=True scores with each label's own 'tolerance' field;
+    the default keeps reference semantics (model spec_time_step * 4,
+    reference model.py:494-495 — the label field is ignored). The fixture
+    model's default tolerance is 0.01 * 4 = 40 ms; a prediction 30 ms off
+    is a hit there but a miss at the label's stated 20 ms."""
+    from whisperseg_tpu.evaluate import evaluate_dataset
+    from whisperseg_tpu.segmenter import Segmenter
+
+    ckpt = tiny_ckpt(tmp_path)
+    data = tmp_path / "data"
+    data.mkdir()
+    write_wav(data / "x.wav", np.random.RandomState(1).randn(8000) * 0.1)
+    json.dump({"onset": [0.1], "offset": [0.3], "cluster": ["Vocal"],
+               "sr": 16000, "spec_time_step": 0.0025, "tolerance": 0.02},
+              open(data / "x.json", "w"))
+
+    def fake_segment(self, audio, sr, **kw):
+        return {"onset": [0.13], "offset": [0.33], "cluster": ["Vocal"]}
+
+    monkeypatch.setattr(Segmenter, "segment", fake_segment)
+    kw = dict(num_trials=1, num_beams=1, max_length=16, batch_size=2)
+    ref_semantics = evaluate_dataset(str(data), ckpt, **kw)
+    label_semantics = evaluate_dataset(str(data), ckpt,
+                                       label_tolerance=True, **kw)
+    assert ref_semantics["segment_wise_scores"]["N-true-positive"] == 1
+    assert label_semantics["segment_wise_scores"]["N-true-positive"] == 0
+
+
 def test_convert_hf_cli(tmp_path):
     torch = pytest.importorskip("torch")
     from transformers import WhisperConfig as HFConfig

@@ -14,11 +14,19 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
              num_trials, num_beams: int = 4, target_cluster: Optional[str] = None,
              verbose: bool = True, refine_boundaries_ms=None,
              split_merged_db=None, merge_gap_ms=None, frame_mode: bool = False,
-             frame_split=None, frame_refine_ms=None, frame_filter=None):
+             frame_split=None, frame_refine_ms=None, frame_filter=None,
+             label_tolerance: bool = False):
     """Micro-averaged segment-wise and frame-wise P/R/F1 over a corpus
-    (reference evaluate.py:9-51). Per-label ``tolerance`` /
+    (reference evaluate.py:9-51). By default, per-label ``tolerance`` /
     ``time_per_frame_for_scoring`` fields are intentionally ignored, as in the
-    reference (scores use the segmenter's defaults)."""
+    reference (scores use the segmenter's defaults: the model config's
+    ``spec_time_step * 4`` matching tolerance, reference model.py:494-495) —
+    even when a label says e.g. ``tolerance: 0.02``. ``label_tolerance=True``
+    honors those per-label fields instead, which matches the objective the
+    offline fitters optimize (refine._scoring_resolutions) — use it when the
+    model's global spec_time_step differs from a corpus's annotation
+    resolution (e.g. the meerkat set: 1 ms frames, 20 ms stated tolerance,
+    scored at the generalist's 2.5 ms * 4 = 10 ms by default)."""
     seg_tp = seg_pred = seg_label = 0
     fr_tp = fr_pred = fr_label = 0
 
@@ -58,13 +66,18 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
                 frame_refine_ms=frame_refine_ms,
                 frame_filter=frame_filter,
             )
+        tol = label.get("tolerance") if label_tolerance else None
+        tpf = (label.get("time_per_frame_for_scoring")
+               if label_tolerance else None)
         tp, p_pred, p_label = segmenter.segment_score(
-            prediction, label, target_cluster=target_cluster)[:3]
+            prediction, label, target_cluster=target_cluster,
+            tolerance=tol)[:3]
         seg_tp += tp
         seg_pred += p_pred
         seg_label += p_label
         tp, p_pred, p_label = segmenter.frame_score(
-            prediction, label, target_cluster=target_cluster)[:3]
+            prediction, label, target_cluster=target_cluster,
+            time_per_frame_for_scoring=tpf)[:3]
         fr_tp += tp
         fr_pred += p_pred
         fr_label += p_label
@@ -88,7 +101,8 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      frame_split=None, frame_refine_ms=None, frame_filter=None,
                      ignore_cluster: bool = False,
                      frame_vocal_threshold=None, frame_cut_threshold=None,
-                     frame_boundary_snap=None, **kwargs):
+                     frame_boundary_snap=None, label_tolerance: bool = False,
+                     **kwargs):
     """(reference evaluate.py:53-84)
 
     ``ignore_cluster=True`` flattens label clusters to "Vocal" (via
@@ -120,7 +134,8 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                    refine_boundaries_ms=refine_boundaries_ms,
                    split_merged_db=split_merged_db, merge_gap_ms=merge_gap_ms,
                    frame_mode=frame_mode, frame_split=frame_split,
-                   frame_refine_ms=frame_refine_ms, frame_filter=frame_filter)
+                   frame_refine_ms=frame_refine_ms, frame_filter=frame_filter,
+                   label_tolerance=label_tolerance)
 
     def expand(row):
         return {
