@@ -111,6 +111,23 @@ def test_frame_head_loss_ignores_unlabeled_cluster_positions():
     assert labeled > all_ignored  # the CE term only appears with labels
 
 
+def test_frame_head_loss_boundary_weight_scales_cut_channels():
+    # nonzero onset/offset logits so the boundary terms carry loss
+    logits = jnp.zeros((1, 8, 3)).at[..., 1].set(2.0).at[..., 2].set(-1.0)
+    targets = {
+        "vocal": jnp.zeros((1, 8)),
+        "onset": jnp.zeros((1, 8)),
+        "offset": jnp.ones((1, 8)),
+    }
+    base = frame_head_loss(logits, targets)
+    up = frame_head_loss(logits, targets, boundary_weight=4.0)
+    # decomposition: loss = vocal + w * (onset + offset)
+    vocal_only = frame_head_loss(logits, targets, boundary_weight=0.0)
+    cut = base - vocal_only
+    assert cut > 0
+    assert jnp.allclose(up, vocal_only + 4.0 * cut, rtol=1e-6)
+
+
 def test_ensure_frame_head_adds_and_widens():
     cfg = tiny_cfg(frame_head_clusters=0)
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -70,6 +70,11 @@ def build_parser():
                         "RESULTS.md); pass 0 for a reference-exact model")
     p.add_argument("--frame_head_weight", type=float, default=1.0,
                    help="frame-head loss weight relative to the token CE")
+    p.add_argument("--frame_boundary_weight", type=float, default=1.0,
+                   help="onset/offset (cut) channel loss weight relative to "
+                        "the vocal channel — upweight (e.g. 4) to sharpen "
+                        "sub-call boundary learning on densely annotated "
+                        "corpora (the meerkat merged-sub-call failure mode)")
     p.add_argument("--frame_label_sigma", type=float, default=1.0,
                    help="Gaussian stddev (grid positions) of the soft "
                         "onset/offset event targets for the frame head")
@@ -130,6 +135,7 @@ def main(argv=None):
         timestamp_label_sigma=a.timestamp_label_sigma,
         frame_head=bool(a.frame_head),
         frame_head_weight=a.frame_head_weight,
+        frame_boundary_weight=a.frame_boundary_weight,
         frame_label_sigma=a.frame_label_sigma,
         synth_augment=a.synth_augment,
         spec_augment=bool(a.spec_augment),

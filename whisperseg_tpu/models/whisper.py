@@ -162,14 +162,22 @@ def frame_head_forward(params: Params, cfg: WhisperConfig, enc_out):
     return (_dot(h, fh["h2_w"], cdt) + fh["h2_b"]).astype(jnp.float32)
 
 
-def frame_head_loss(logits, targets, cluster_pos_weight: float = 1.0):
+def frame_head_loss(logits, targets, cluster_pos_weight: float = 1.0,
+                    boundary_weight: float = 1.0):
     """Multi-task frame loss.
 
     ``targets`` is a dict of [B, S] arrays: ``vocal`` (0/1 float), ``onset`` /
     ``offset`` (soft 0..1 float — Gaussian-smoothed events, built host-side in
     data.py), and optionally ``cluster`` (int32, -1 = unlabeled position).
     Binary channels use sigmoid BCE (mean over all positions); the cluster
-    channel uses softmax CE masked to labeled (vocal) positions."""
+    channel uses softmax CE masked to labeled (vocal) positions.
+
+    ``boundary_weight`` scales the onset/offset (cut) channels relative to
+    the vocal channel: boundary events occupy a few positions per segment so
+    their gradient is naturally dwarfed by the dense vocal BCE — upweighting
+    them targets the merged-sub-call failure mode (densely annotated corpora
+    like meerkat, where detection is right but segmentation granularity is
+    not; RESULTS.md oracle sweeps)."""
     def bce(logit, target):
         # numerically stable x - x*z + log(1 + exp(-x)) form
         return jnp.mean(
@@ -177,8 +185,8 @@ def frame_head_loss(logits, targets, cluster_pos_weight: float = 1.0):
             + jnp.log1p(jnp.exp(-jnp.abs(logit))))
 
     loss = (bce(logits[..., 0], targets["vocal"])
-            + bce(logits[..., 1], targets["onset"])
-            + bce(logits[..., 2], targets["offset"]))
+            + boundary_weight * (bce(logits[..., 1], targets["onset"])
+                                 + bce(logits[..., 2], targets["offset"])))
     cluster = targets.get("cluster")
     if cluster is not None and logits.shape[-1] > 3:
         logp = jax.nn.log_softmax(logits[..., 3:], axis=-1)

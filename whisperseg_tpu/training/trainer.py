@@ -92,6 +92,9 @@ class TrainArgs:
     #                           (vocal/onset/offset/cluster per timestamp
     #                           quantum; models/whisper.frame_head_forward)
     frame_head_weight: float = 1.0  # frame-loss weight relative to token CE
+    frame_boundary_weight: float = 1.0  # onset/offset channel weight relative
+    #                                     to the vocal channel (upweight to
+    #                                     sharpen sub-call cut learning)
     frame_label_sigma: float = 1.0  # Gaussian stddev (grid positions) of the
     #                                 soft onset/offset event targets
     spec_augment: bool = False  # SpecAugment freq/time masking (regularizer)
@@ -257,7 +260,8 @@ def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0,
                      timestamp_loss_weight: float = 1.0,
                      timestamp_label_sigma: float = 0.0,
                      use_spec_augment: bool = False,
-                     frame_head_weight: float = 0.0):
+                     frame_head_weight: float = 0.0,
+                     frame_boundary_weight: float = 1.0):
     """The donated, jitted (fwd + bwd + AdamW) step.
 
     Sharding is carried by the *arguments*: params placed via
@@ -290,7 +294,8 @@ def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0,
                 from ..models.whisper import frame_head_forward, frame_head_loss
 
                 floss = frame_head_loss(frame_head_forward(p, cfg, enc),
-                                        batch["frame_targets"])
+                                        batch["frame_targets"],
+                                        boundary_weight=frame_boundary_weight)
                 loss = loss + frame_head_weight * floss
             return loss
 
@@ -485,7 +490,8 @@ def run_training(args: TrainArgs) -> Optional[str]:
         timestamp_loss_weight=args.timestamp_loss_weight,
         timestamp_label_sigma=args.timestamp_label_sigma,
         use_spec_augment=args.spec_augment,
-        frame_head_weight=args.frame_head_weight if args.frame_head else 0.0)
+        frame_head_weight=args.frame_head_weight if args.frame_head else 0.0,
+        frame_boundary_weight=args.frame_boundary_weight)
 
     # ------------------------------------------------------------ logging setup
     metrics_path = os.path.join(args.model_folder, "metrics.jsonl")
