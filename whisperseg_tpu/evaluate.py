@@ -102,7 +102,7 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      ignore_cluster: bool = False,
                      frame_vocal_threshold=None, frame_cut_threshold=None,
                      frame_boundary_snap=None, label_tolerance: bool = False,
-                     **kwargs):
+                     segmenter=None, **kwargs):
     """(reference evaluate.py:53-84)
 
     ``ignore_cluster=True`` flattens label clusters to "Vocal" (via
@@ -127,8 +127,12 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
         audio_list.append(audio)
         label_list.append(label)
 
-    segmenter = Segmenter.from_pretrained(model_path,
-                                          inference_dtype=inference_dtype)
+    if segmenter is None:
+        # pass a pre-loaded ``segmenter`` when scoring several corpora with
+        # one model (scripts/evaluate_many.py): model load and jit programs
+        # are then shared across folders instead of re-paid per call
+        segmenter = Segmenter.from_pretrained(model_path,
+                                              inference_dtype=inference_dtype)
     res = evaluate(audio_list, label_list, segmenter, batch_size, max_length,
                    num_trials, num_beams, target_cluster=None,
                    refine_boundaries_ms=refine_boundaries_ms,
