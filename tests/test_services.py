@@ -159,6 +159,29 @@ def test_backend_registry_scan(backend_server):
     assert models[0]["status"] == "ready"
 
 
+def test_backend_lists_shipped_builtin_pair(tmp_path):
+    """Both in-repo ready models register as inference+finetune entries —
+    the counterpart of the reference's two hardcoded hub models
+    (reference scripts/backend.py:368-375)."""
+    from whisperseg_tpu.hub import builtin_models
+
+    builtins = builtin_models()
+    for expected in ("whisperseg-base-animal-vad", "whisperseg-tiny-animal-vad"):
+        assert expected in builtins, f"missing shipped entry {expected}"
+    pretrained = [{"model_name": n, "inference_model_path": p,
+                   "finetune_model_path": p} for n, p in builtins.items()]
+    state = BackendState(str(tmp_path / "d"), str(tmp_path / "m"),
+                         max_num_segmenters_in_ram=1,
+                         pretrained_models=pretrained)
+    models = {m["model_name"]: m for m in state.list_models()}
+    for expected in ("whisperseg-base-animal-vad", "whisperseg-tiny-animal-vad"):
+        entry = models[expected]
+        assert entry["status"] == "ready"
+        assert os.path.exists(os.path.join(entry["inference_model_path"],
+                                           "config.json"))
+        assert entry["finetune_model_path"] == entry["inference_model_path"]
+
+
 def test_backend_submit_validation(backend_server):
     addr, state, tmp = backend_server
     # bad name
