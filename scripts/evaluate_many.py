@@ -36,8 +36,12 @@ def main() -> None:
     ap.add_argument("--datasets", nargs="+", required=True,
                     metavar="NAME=FOLDER",
                     help="one or more name=folder pairs to score")
-    ap.add_argument("--num_trials", type=int, default=1)
-    ap.add_argument("--num_beams", type=int, default=1)
+    # defaults match scripts/evaluate.py (the single-corpus protocol and the
+    # reference's production knobs, reference model.py:398-425) so decode-mode
+    # scores from this batch tool agree with it; under --frame_mode 1 both
+    # knobs are unused by construction (no autoregressive decode runs)
+    ap.add_argument("--num_trials", type=int, default=3)
+    ap.add_argument("--num_beams", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--max_length", type=int, default=None)
     ap.add_argument("--compute_type", default="bfloat16")

@@ -109,7 +109,11 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
     ``read_label``'s reference semantics, datautils.py:19-42) — required when
     scoring a VAD model trained with ``--ignore_cluster 1`` (e.g. the
     multi-species generalist) against per-syllable-clustered labels, since
-    both segment and frame scores match cluster names exactly."""
+    both segment and frame scores match cluster names exactly.
+
+    Precedence: when a pre-loaded ``segmenter`` is passed, ``model_path`` and
+    ``inference_dtype`` are NOT consulted — the segmenter's own checkpoint and
+    dtype win (they were fixed at its construction)."""
     from .segmenter import Segmenter
 
     audio_list, label_list = [], []
