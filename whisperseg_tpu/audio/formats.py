@@ -11,11 +11,12 @@ no librosa/soundfile/ffmpeg, so:
     (pure numpy, no dependencies, verified against libvorbisfile — see
     tests/test_vorbis.py); non-Vorbis Ogg payloads (e.g. Opus) fall back to
     SDL2_mixer when present.
-  * MP3 decodes through the system libmpg123 via ctypes (``audio/mpg123.py``,
-    no Python package needed) when present, else through SDL2_mixer (the
-    ``pygame`` package), initialized at the file's NATIVE sample rate —
-    parsed here from the MPEG frame header — so no hidden resampling occurs.
-    Absent both, a clear error names the formats that remain available.
+  * MP3 decodes through the from-scratch Layer III decoder in ``audio/mp3.py``
+    (pure numpy; constant tables recovered from libmpg123 by behavioral
+    system identification, scripts/mp3_oracle_extract.py; output within
+    ~3e-6 of libmpg123 across all rates/modes). The system libmpg123
+    (``audio/mpg123.py``, ctypes) and SDL2_mixer (``pygame``) remain as
+    fallbacks for profiles it rejects (Layer I/II, free-format bitrate).
 
 Header probes (`sniff_format`, `probe_sampling_rate`, `probe_duration`) are
 pure Python and dependency-free for all four formats, replacing the
@@ -248,6 +249,16 @@ def decode_compressed(path_or_bytes, fmt: Optional[str] = None
             if not _sdl_available():
                 raise
     if fmt == "mp3":
+        # in-repo Layer III decoder first (validated to ~3e-6 of libmpg123
+        # across all rates/modes, tests/test_mp3.py); system libmpg123 and
+        # SDL2_mixer remain as fallbacks for anything it rejects (Layer I/II,
+        # free-format bitrate)
+        from .mp3 import decode_mp3 as decode_mp3_native
+
+        try:
+            return decode_mp3_native(data)
+        except Exception:
+            pass
         from . import mpg123
 
         if mpg123.available():

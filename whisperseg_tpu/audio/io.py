@@ -8,9 +8,10 @@ numerically very close to librosa's default soxr_hq path.
 
 Compressed containers (the reference accepts mp3 uploads — demo.py:78 — and
 anything librosa reads in the service/data layer): FLAC via the from-scratch
-codec in ``audio/flac.py``; mp3/ogg via the SDL2_mixer backend in
-``audio/formats.py`` with a clear error when that backend is absent. Format
-dispatch is by magic bytes, not file extension, so stdin/base64 payloads work.
+codec in ``audio/flac.py``; Ogg Vorbis via ``audio/vorbis.py``; MP3 via the
+from-scratch Layer III decoder in ``audio/mp3.py`` (libmpg123/SDL2_mixer as
+fallbacks). Format dispatch is by magic bytes, not file extension, so
+stdin/base64 payloads work.
 """
 
 from __future__ import annotations
