@@ -65,6 +65,9 @@ def main(argv=None):
                              "the reference default (model spec_time_step*4) "
                              "— matches the objective the fit_* scripts "
                              "optimize")
+    parser.add_argument("--output_path", default=None,
+                        help="also write the scores JSON to this file "
+                             "(stdout is unchanged)")
     args = parser.parse_args(argv)
 
     from whisperseg_tpu.evaluate import evaluate_dataset
@@ -87,6 +90,9 @@ def main(argv=None):
         label_tolerance=bool(args.label_tolerance),
     )
     print(json.dumps(res, indent=2))
+    if args.output_path:
+        with open(args.output_path, "w") as f:
+            json.dump(res, f, indent=1)
 
 
 if __name__ == "__main__":
