@@ -244,9 +244,19 @@ def decode_compressed(path_or_bytes, fmt: Optional[str] = None
             # path does too); clip to the pipeline's int16-era invariant
             return np.clip(pcm, -1.0, 1.0), sr
         except VorbisError:
-            # non-Vorbis Ogg payload (Opus/FLAC-in-Ogg) or an unsupported
-            # corner (floor type 0): try the SDL fallback below
-            if not _sdl_available():
+            # non-Vorbis Ogg payload: Ogg Opus demuxes in-repo and decodes
+            # through the system libopus (audio/opus.py); anything else
+            # (FLAC-in-Ogg, floor type 0, multistream surround Opus) tries
+            # the SDL fallback below
+            from . import opus
+
+            if opus.looks_like_ogg_opus(data) and opus.available():
+                try:
+                    return opus.decode_ogg_opus(data)
+                except Exception:
+                    if not _sdl_available():
+                        raise
+            elif not _sdl_available():
                 raise
     if fmt == "mp3":
         # in-repo Layer III decoder first (validated to ~3e-6 of libmpg123
