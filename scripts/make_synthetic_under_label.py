@@ -54,9 +54,13 @@ def synth_tone(rng, sr, n, f0):
     return (rng.uniform(0.3, 0.7) * env * np.sin(phase)).astype(np.float32)
 
 
-def synth_harmonic(rng, sr, n, _f0_unused):
+def synth_harmonic(rng, sr, n, sig_f0):
     t = np.arange(n) / sr
-    f0 = rng.uniform(120.0, 220.0)
+    # per-cluster fundamental: golden-ratio fold of the cluster's signature
+    # frequency (log scale) into the speech band, so distinct clusters keep
+    # well-separated f0 (plus small per-event jitter)
+    f0 = 120.0 + 100.0 * ((np.log2(max(float(sig_f0), 1.0))
+                           * 0.6180339887) % 1.0) + rng.uniform(-5.0, 5.0)
     drift = 1.0 + 0.1 * np.sin(2 * np.pi * rng.uniform(0.3, 1.0) * t)
     y = np.zeros(n, dtype=np.float64)
     for h in range(1, 13):

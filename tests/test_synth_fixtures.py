@@ -72,17 +72,23 @@ def test_synth_under_label_obeys_annotation(tmp_path, style):
     loud = min(rms(0.25, 0.45), rms(0.85, 1.05), rms(1.55, 1.85))
     assert loud > 10 * quiet
 
-    if style == "tone":
-        # distinct clusters get distinct spectral signatures: each burst's
-        # energy concentrates around its own cluster's center frequency,
-        # and the two clusters' centers differ
-        seg_a = y[int(0.22 * sr):int(0.48 * sr)]
-        seg_b = y[int(0.82 * sr):int(1.08 * sr)]
-        fa = np.fft.rfftfreq(len(seg_a), 1 / sr)[
-            np.abs(np.fft.rfft(seg_a)).argmax()]
-        fb = np.fft.rfftfreq(len(seg_b), 1 / sr)[
-            np.abs(np.fft.rfft(seg_b)).argmax()]
-        assert abs(fa - fb) / max(fa, fb) > 0.15
+    # distinct clusters get distinct spectral signatures: tone style via the
+    # spectral peak (cluster center frequency), harmonic style via the
+    # fundamental (per-cluster f0 folded from the signature frequency)
+    seg_a = y[int(0.22 * sr):int(0.48 * sr)]
+    seg_b = y[int(0.82 * sr):int(1.08 * sr)]
+
+    def peak(seg, f_max=None):
+        spec = np.abs(np.fft.rfft(seg))
+        freqs = np.fft.rfftfreq(len(seg), 1 / sr)
+        if f_max is not None:
+            spec = spec[freqs < f_max]
+            freqs = freqs[freqs < f_max]
+        return freqs[spec.argmax()]
+
+    f_max = 300.0 if style == "harmonic" else None  # fundamental band
+    fa, fb = peak(seg_a, f_max), peak(seg_b, f_max)
+    assert abs(fa - fb) / max(fa, fb) > (0.15 if style == "tone" else 0.05)
 
 
 def test_multicluster_tones_scaled_config(tmp_path):
@@ -105,6 +111,6 @@ def test_multicluster_tones_scaled_config(tmp_path):
             for on, off, cl in zip(label["onset"], label["offset"],
                                    label["cluster"]):
                 seg = y[int(on * sr):int(off * sr)]
-                f0 = freqs[int(cl[1])]
+                f0 = freqs[int(cl[1:])]
                 # FM sweep is ±8%, so a ±15% band holds most tone energy
                 assert _band_energy(seg, sr, f0) > 0.5, (wav.name, cl, on)
