@@ -59,6 +59,8 @@ def main(argv=None):
                              "per-label value, else the checkpoint's fitted)")
     parser.add_argument("--frame_cut_threshold", type=float, default=None)
     parser.add_argument("--frame_boundary_snap", type=int, default=None)
+    parser.add_argument("--frame_gap_cut", type=int, default=None,
+                        help="frame-mode sub-floor pause cut radius override")
     parser.add_argument("--label_tolerance", type=int, default=0,
                         help="1: score with each label's own 'tolerance' / "
                              "'time_per_frame_for_scoring' fields instead of "
@@ -84,6 +86,7 @@ def main(argv=None):
         frame_vocal_threshold=args.frame_vocal_threshold,
         frame_cut_threshold=args.frame_cut_threshold,
         frame_boundary_snap=args.frame_boundary_snap,
+        frame_gap_cut=args.frame_gap_cut,
         frame_split=args.frame_split,
         frame_refine_ms=args.frame_refine_ms,
         frame_filter=args.frame_filter,

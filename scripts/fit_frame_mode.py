@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--cut_threshold", type=float, nargs="+",
                     default=[0.3, 0.5, 0.7])
     ap.add_argument("--boundary_snap", type=int, nargs="+", default=[2, 4, 8])
+    ap.add_argument("--gap_cut", type=int, nargs="+", default=[0, 2, 5, 10],
+                    help="sub-floor pause-cut radii (grid positions) to grid "
+                         "over; 0 = same-position cuts only")
     ap.add_argument("--write", type=int, default=0,
                     help="1: store fitted thresholds in the checkpoint's "
                          "default_segmentation_config (config.json)")
@@ -75,13 +78,15 @@ def main(argv=None):
     params, table = fit_frame_mode(
         tracks_list, labels, durations, deltas, seg.inverse_cluster_codebook,
         vocal_threshold=args.vocal_threshold,
-        cut_threshold=args.cut_threshold, boundary_snap=args.boundary_snap)
+        cut_threshold=args.cut_threshold, boundary_snap=args.boundary_snap,
+        gap_cut=args.gap_cut)
 
-    default_name = "vt_0.5+ct_0.5+snap_2"
+    default_name = "vt_0.5+ct_0.5+snap_2+gap_0"
     vt = params.get("frame_vocal_threshold", 0.5)
     ct = params.get("frame_cut_threshold", 0.5)
     bs = params.get("frame_boundary_snap", 2)
-    fitted_name = f"vt_{vt:g}+ct_{ct:g}+snap_{bs:g}"
+    gc = params.get("frame_gap_cut", 0)
+    fitted_name = f"vt_{vt:g}+ct_{ct:g}+snap_{bs:g}+gap_{gc:g}"
 
     if args.write:
         cfg_path = os.path.join(args.model_path, "config.json")

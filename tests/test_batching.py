@@ -124,3 +124,59 @@ def test_collect_frames_bypasses_fusion():
     assert t1 == t2
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_bucket_sizes():
+    """Device calls pad to the smallest power-of-two bucket, not max."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    b = BatchingSegmenter(params, cfg, inference_dtype=None,
+                          max_batch_size=32, max_wait_ms=5, min_bucket=4)
+    assert [b._bucket(n) for n in (1, 4, 5, 8, 9, 17, 40)] == \
+        [4, 4, 8, 8, 16, 32, 32]
+
+
+def test_early_release_returns_first_item_before_group_end(pair):
+    """An item fully decoded in an earlier chunk is released to its waiter
+    while later chunks are still on the device (no group-end hostage)."""
+    import time
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batched = BatchingSegmenter(params, cfg, inference_dtype=None,
+                                max_batch_size=4, max_wait_ms=100,
+                                min_bucket=4)
+
+    fn_key_fn = batched._segment_fn
+
+    def slow_segment_fn(*a, **k):
+        fn = fn_key_fn(*a, **k)
+
+        def wrapped(params, clips, rng, lp):
+            time.sleep(0.25)  # make per-chunk device time observable
+            return fn(params, clips, rng, lp)
+
+        return wrapped
+
+    batched._segment_fn = slow_segment_fn  # type: ignore
+
+    rng = np.random.RandomState(3)
+    # two 3-window requests with one shared key -> one group, two chunks
+    # (window = total_spec_columns * spec_time_step = 1 s = 16000 samples)
+    audios = [rng.randn(3 * 16000).astype(np.float32) * 0.1
+              for _ in range(2)]
+    done_at = [None, None]
+
+    def worker(i):
+        batched.segment(audios[i], 16000, spec_time_step=0.01, max_length=16,
+                        num_beams=1)
+        done_at[i] = time.monotonic()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    threads[0].start()
+    time.sleep(0.02)  # deterministic queue order: request 0 is the head
+    threads[1].start()
+    for t in threads:
+        t.join()
+    # head item decodes in chunk 1 and must return ~a full chunk earlier
+    assert done_at[0] < done_at[1] - 0.1, done_at

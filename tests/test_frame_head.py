@@ -453,10 +453,11 @@ def test_fit_frame_mode_selects_lower_vocal_threshold():
              "spec_time_step": 0.01}
     params, table = fit_frame_mode(
         [tracks], [label], [2.0], [delta], {0: "Vocal"},
-        vocal_threshold=(0.3, 0.5), cut_threshold=(0.5,), boundary_snap=(2,))
+        vocal_threshold=(0.3, 0.5), cut_threshold=(0.5,), boundary_snap=(2,),
+        gap_cut=(0,))
     assert params.get("frame_vocal_threshold") == 0.3, (params, table)
-    assert table["vt_0.3+ct_0.5+snap_2"]["segment_F1"] == 1.0
-    assert table["vt_0.5+ct_0.5+snap_2"]["segment_F1"] == 0.0
+    assert table["vt_0.3+ct_0.5+snap_2+gap_0"]["segment_F1"] == 1.0
+    assert table["vt_0.5+ct_0.5+snap_2+gap_0"]["segment_F1"] == 0.0
 
 
 def test_fit_frame_mode_defaults_win_ties():
@@ -476,6 +477,64 @@ def test_fit_frame_mode_defaults_win_ties():
         [tracks], [label], [1.0], [delta], {0: "Vocal"},
         vocal_threshold=(0.3, 0.5), cut_threshold=(0.5,), boundary_snap=(2,))
     assert params == {}
+
+
+def _pause_tracks(T=60, q=0.02):
+    """One vocal run [10, 30) that is really TWO spans with a 3-quantum
+    pause the vocal track never dips through: offset event at 20, onset
+    event at 23."""
+    vocal = np.zeros(T, np.float32)
+    onset = np.zeros(T, np.float32)
+    offset = np.zeros(T, np.float32)
+    vocal[10:30] = 1.0
+    onset[10] = 1.0
+    offset[20] = 0.9
+    onset[23] = 0.9
+    offset[30] = 1.0
+    return {"vocal": vocal, "onset": onset, "offset": offset,
+            "cluster": np.zeros(T, np.int32), "quantum": q}
+
+
+def test_segments_from_tracks_gap_cut_splits_subfloor_pause():
+    """gap_cut pairs an offset event with a following onset event across a
+    pause the vocal track never dips through (the human-AVA / meerkat
+    merged-adjacent-spans failure, RESULTS.md round-4); 0 preserves the
+    same-position-only behavior."""
+    from whisperseg_tpu.refine import segments_from_tracks
+
+    q = 0.02
+    delta = 512 / 2 / 16000
+    tracks = _pause_tracks(q=q)
+    merged = segments_from_tracks(tracks, 2.0, delta, {0: "Vocal"},
+                                  gap_cut=0)
+    assert len(merged["onset"]) == 1  # events 3 quanta apart: no cut at 0
+    split = segments_from_tracks(tracks, 2.0, delta, {0: "Vocal"},
+                                 gap_cut=4)
+    assert len(split["onset"]) == 2
+    np.testing.assert_allclose(split["onset"], [10 * q + delta, 23 * q + delta],
+                               atol=1e-9)
+    np.testing.assert_allclose(split["offset"], [20 * q - delta, 30 * q - delta],
+                               atol=1e-9)
+
+
+def test_fit_frame_mode_selects_gap_cut():
+    """When ground truth has the pause, the grid fit turns the gap cut on."""
+    from whisperseg_tpu.refine import fit_frame_mode
+
+    q = 0.02
+    delta = 512 / 2 / 16000
+    tracks = _pause_tracks(q=q)
+    label = {"onset": [10 * q + delta, 23 * q + delta],
+             "offset": [20 * q - delta, 30 * q - delta],
+             "cluster": ["Vocal", "Vocal"], "tolerance": 0.02,
+             "spec_time_step": 0.01}
+    params, table = fit_frame_mode(
+        [tracks], [label], [2.0], [delta], {0: "Vocal"},
+        vocal_threshold=(0.5,), cut_threshold=(0.5,), boundary_snap=(2,),
+        gap_cut=(0, 4))
+    assert params.get("frame_gap_cut") == 4, (params, table)
+    assert table["vt_0.5+ct_0.5+snap_2+gap_4"]["segment_F1"] == 1.0
+    assert table["vt_0.5+ct_0.5+snap_2+gap_0"]["segment_F1"] < 1.0
 
 
 # ------------------------------------------------- fused decode+frames pass

@@ -74,6 +74,11 @@ def build_parser():
     parser.add_argument("--frame_boundary_snap", default=None, type=int,
                         help="frame mode: boundary snap radius in grid "
                              "positions (default: fitted value, else 2)")
+    parser.add_argument("--frame_gap_cut", default=None, type=int,
+                        help="frame mode: split active runs at offset->onset "
+                             "event pairs up to this many grid positions "
+                             "apart (sub-floor pause cut; default: fitted "
+                             "value, else 0 = same-position cuts only)")
     parser.add_argument("--max_length", default=None, type=int,
                         help="decode token budget; default = the budget the "
                              "checkpoint was trained at (stamped by train.py "
@@ -132,6 +137,7 @@ def main(argv=None):
             vocal_threshold=args.frame_vocal_threshold,
             cut_threshold=args.frame_cut_threshold,
             boundary_snap=args.frame_boundary_snap,
+            gap_cut=args.frame_gap_cut,
         )
 
     def run(audio, sr):
@@ -150,7 +156,8 @@ def main(argv=None):
                 print(f"Note: frame mode (decoder-free) ignores "
                       f"{', '.join(ignored)}; its own knobs are "
                       f"--frame_vocal_threshold/--frame_cut_threshold/"
-                      f"--frame_boundary_snap.", file=sys.stderr)
+                      f"--frame_boundary_snap/--frame_gap_cut.",
+                      file=sys.stderr)
             return segmenter.segment_from_frames(
                 audio, sr, min_frequency=args.min_frequency,
                 spec_time_step=args.spec_time_step,
@@ -158,6 +165,7 @@ def main(argv=None):
                 vocal_threshold=args.frame_vocal_threshold,
                 cut_threshold=args.frame_cut_threshold,
                 boundary_snap=args.frame_boundary_snap,
+                gap_cut=args.frame_gap_cut,
             )
         return segmenter.segment(
             audio, sr, min_frequency=args.min_frequency,

@@ -48,6 +48,7 @@ def evaluate(audio_list, label_list, segmenter, batch_size, max_length,
                 vocal_threshold=label.get("frame_vocal_threshold", None),
                 cut_threshold=label.get("frame_cut_threshold", None),
                 boundary_snap=label.get("frame_boundary_snap", None),
+                gap_cut=label.get("frame_gap_cut", None),
             )
         else:
             prediction = segmenter.segment(
@@ -101,7 +102,8 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
                      frame_split=None, frame_refine_ms=None, frame_filter=None,
                      ignore_cluster: bool = False,
                      frame_vocal_threshold=None, frame_cut_threshold=None,
-                     frame_boundary_snap=None, label_tolerance: bool = False,
+                     frame_boundary_snap=None, frame_gap_cut=None,
+                     label_tolerance: bool = False,
                      segmenter=None, **kwargs):
     """(reference evaluate.py:53-84)
 
@@ -125,7 +127,8 @@ def evaluate_dataset(dataset_folder: str, model_path: str, num_trials: int,
         # explicit frame-mode threshold overrides (else labels/checkpoint)
         for key, val in (("frame_vocal_threshold", frame_vocal_threshold),
                          ("frame_cut_threshold", frame_cut_threshold),
-                         ("frame_boundary_snap", frame_boundary_snap)):
+                         ("frame_boundary_snap", frame_boundary_snap),
+                         ("frame_gap_cut", frame_gap_cut)):
             if val is not None:
                 label[key] = val
         audio_list.append(audio)

@@ -634,11 +634,20 @@ def segments_from_tracks(
     boundary_snap: int = 2,
     min_segment_length: float = 0.01,
     precision_bits: int = 3,
+    gap_cut: int = 0,
 ) -> Dict[str, list]:
     """Pure tracks -> segments conversion for the frame-VAD mode
     (``Segmenter.segment_from_frames``): threshold the vocal track into runs,
     cut runs where both event tracks fire, snap boundaries to event peaks
     (parabolic sub-quantum), FFT-blur correct, majority-vote the cluster.
+
+    ``gap_cut`` (quanta) generalizes the cut to short PAUSES the vocal track
+    never dips through: an offset event at ``i`` paired with the first onset
+    event in ``(i, i + gap_cut]`` splits the run into ``[a, i]`` + ``[j, b]``
+    even though the implied gap is below ``min_segment_length``'s floor —
+    the merged-adjacent-spans failure mode of densely-annotated corpora
+    (human AVA pause gaps, meerkat sub-calls; RESULTS.md round-4). 0 keeps
+    the same-position-only cut (both events at one quantum).
 
     Factored out of the Segmenter so the thresholds can be grid-fitted
     offline on precomputed tracks (scripts/fit_frame_mode.py) — compute the
@@ -662,13 +671,19 @@ def segments_from_tracks(
 
     cut_runs = []
     for a, b in runs:
-        cuts = [i for i in range(a + 1, b)
-                if onset_t[i] >= cut_threshold and offset_t[i] >= cut_threshold]
         prev = a
-        for c in cuts:
-            if c > prev:
-                cut_runs.append((prev, c))
-                prev = c
+        i = a + 1
+        while i < b:
+            if offset_t[i] >= cut_threshold:
+                j = next((i + g for g in range(int(gap_cut) + 1)
+                          if i + g < b and onset_t[i + g] >= cut_threshold),
+                         None)
+                if j is not None and i > prev:
+                    cut_runs.append((prev, i))
+                    prev = j
+                    i = j + 1
+                    continue
+            i += 1
         cut_runs.append((prev, b))
 
     onsets, offsets, clusters = [], [], []
@@ -698,7 +713,7 @@ def segments_from_tracks(
 
 
 FRAME_MODE_KEYS = ("frame_vocal_threshold", "frame_cut_threshold",
-                   "frame_boundary_snap")
+                   "frame_boundary_snap", "frame_gap_cut")
 
 
 def fit_frame_mode(
@@ -710,6 +725,7 @@ def fit_frame_mode(
     vocal_threshold=(0.3, 0.4, 0.5, 0.6),
     cut_threshold=(0.3, 0.5, 0.7),
     boundary_snap=(2, 4, 8),
+    gap_cut=(0, 2, 5, 10),
     min_segment_lengths=None,
 ):
     """Grid-fit the frame-VAD thresholds on a labeled set (intended: the
@@ -727,25 +743,27 @@ def fit_frame_mode(
         min_segment_lengths = [lab.get("spec_time_step", 0.0025) * 2
                                for lab in labels]
 
-    defaults = (0.5, 0.5, 2)
+    defaults = (0.5, 0.5, 2, 0)
     best, best_key, table = None, None, {}
-    for vt, ct, bs in product(vocal_threshold, cut_threshold, boundary_snap):
+    for vt, ct, bs, gc in product(vocal_threshold, cut_threshold,
+                                  boundary_snap, gap_cut):
         preds = [
             segments_from_tracks(tr, dur, td, inverse_codebook,
                                  vocal_threshold=vt, cut_threshold=ct,
-                                 boundary_snap=bs, min_segment_length=msl)
+                                 boundary_snap=bs, min_segment_length=msl,
+                                 gap_cut=gc)
             for tr, dur, td, msl in zip(tracks_list, durations, time_deltas,
                                         min_segment_lengths)
         ]
         seg_f1, fr_f1 = micro_f1(preds, labels, tols, tpfs)
-        name = f"vt_{vt:g}+ct_{ct:g}+snap_{bs:g}"
+        name = f"vt_{vt:g}+ct_{ct:g}+snap_{bs:g}+gap_{gc:g}"
         table[name] = {"segment_F1": round(seg_f1, 4),
                        "frame_F1": round(fr_f1, 4)}
         closeness = -(abs(vt - defaults[0]) + abs(ct - defaults[1])
-                      + abs(bs - defaults[2]) / 10.0)
+                      + abs(bs - defaults[2]) / 10.0 + gc / 100.0)
         key = (round(seg_f1, 4), round(fr_f1, 4), closeness)
         if best_key is None or key > best_key:
-            best_key, best = key, (vt, ct, bs)
+            best_key, best = key, (vt, ct, bs, gc)
 
     params = {k: v for k, v in zip(FRAME_MODE_KEYS, best)
               if v != dict(zip(FRAME_MODE_KEYS, defaults))[k]}

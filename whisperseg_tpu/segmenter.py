@@ -548,6 +548,7 @@ class Segmenter:
         cut_threshold: Optional[float] = None,
         boundary_snap: Optional[int] = None,
         min_segment_length: Optional[float] = None,
+        gap_cut: Optional[int] = None,
     ) -> Dict[str, list]:
         """Decoder-free segmentation from the frame head (fast VAD mode).
 
@@ -585,6 +586,8 @@ class Segmenter:
             cut_threshold = dsc.get("frame_cut_threshold", 0.5)
         if boundary_snap is None:
             boundary_snap = int(dsc.get("frame_boundary_snap", 2))
+        if gap_cut is None:
+            gap_cut = int(dsc.get("frame_gap_cut", 0))
 
         tracks = self.frame_probs(audio, sr, spec_time_step=spec_time_step,
                                   min_frequency=min_frequency,
@@ -596,7 +599,7 @@ class Segmenter:
             self.inverse_cluster_codebook, vocal_threshold=vocal_threshold,
             cut_threshold=cut_threshold, boundary_snap=boundary_snap,
             min_segment_length=min_segment_length,
-            precision_bits=self.precision_bits)
+            precision_bits=self.precision_bits, gap_cut=gap_cut)
 
     # ----------------------------------------------------------------- streaming
 
@@ -695,6 +698,7 @@ class Segmenter:
         vocal_threshold: Optional[float] = None,
         cut_threshold: Optional[float] = None,
         boundary_snap: Optional[int] = None,
+        gap_cut: Optional[int] = None,
         merge_gap_ms: Optional[float] = None,
         frame_split: Optional[float] = None,
         frame_refine_ms: Optional[float] = None,
@@ -754,6 +758,8 @@ class Segmenter:
                     cut_threshold = dsc.get("frame_cut_threshold", 0.5)
                 if boundary_snap is None:
                     boundary_snap = int(dsc.get("frame_boundary_snap", 2))
+                if gap_cut is None:
+                    gap_cut = int(dsc.get("frame_gap_cut", 0))
                 tracks, total_samples = self._stream_frame_tracks(
                     stream, spec_time_step, min_frequency, batch_size,
                     status_monitor)
@@ -763,7 +769,7 @@ class Segmenter:
                     vocal_threshold=vocal_threshold, cut_threshold=cut_threshold,
                     boundary_snap=boundary_snap,
                     min_segment_length=min_segment_length,
-                    precision_bits=self.precision_bits)
+                    precision_bits=self.precision_bits, gap_cut=gap_cut)
 
             # ----- decode path: same default chain as segment() -----
             if merge_gap_ms is None:

@@ -49,13 +49,29 @@ class BatchingSegmenter(Segmenter):
     """Segmenter with a continuous cross-request window batcher."""
 
     def __init__(self, *args, max_batch_size: int = 32,
-                 max_wait_ms: float = 5.0, **kwargs):
+                 max_wait_ms: float = 5.0, min_bucket: int = 4, **kwargs):
         super().__init__(*args, **kwargs)
         self.max_batch_size = max_batch_size
         self.max_wait_ms = max_wait_ms
+        # device calls pad to the smallest power-of-two bucket >= the real
+        # window count (floor ``min_bucket``, cap ``max_batch_size``) instead
+        # of always padding to max_batch_size: a lightly-fused group then
+        # runs a narrower (faster-per-iteration) decode program, at the cost
+        # of one compile per bucket actually seen (r4 serving bench: seq2seq
+        # CB was a wash partly because every call paid the full-width decode)
+        self.min_bucket = min_bucket
         self._queue: "queue.Queue[_WorkItem]" = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _bucket(self, n: int) -> int:
+        b = max(self.min_bucket, 1)
+        if self.mesh is not None:
+            # a sharded batch axis must divide over the mesh's devices
+            b = max(b, int(np.prod(self.mesh.devices.shape)))
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch_size)
 
     # --------------------------------------------------------------- requests
 
@@ -128,12 +144,28 @@ class BatchingSegmenter(Segmenter):
                                       head.top_p)
                 clips = np.concatenate([it.clips for it in group], axis=0)
                 n = clips.shape[0]
-                batch = self.max_batch_size
+                # each item's [start, start+len) slice of the fused axis
+                starts = np.cumsum([0] + [it.clips.shape[0] for it in group])
                 outs: List[List[int]] = []
+
+                def release_ready():
+                    # early per-item release: an item whose windows are all
+                    # decoded returns to its waiter NOW — its parsing /
+                    # consolidation overlaps the remaining chunks' device
+                    # time instead of being held hostage by them
+                    for it, s in zip(group, starts):
+                        k = it.clips.shape[0]
+                        if not it.done.is_set() and s + k <= len(outs):
+                            it.result = outs[s:s + k]
+                            it.done.set()
+
                 rng = jax.random.PRNGKey(head.seed)
-                for pos in range(0, n, batch):
-                    chunk = clips[pos:pos + batch]
-                    real = chunk.shape[0]
+                pos = 0
+                while pos < n:
+                    real = min(n - pos, self.max_batch_size)
+                    batch = self._bucket(real)
+                    real = min(real, batch)
+                    chunk = clips[pos:pos + real]
                     if real < batch:
                         chunk = np.concatenate(
                             [chunk, np.zeros((batch - real,) + chunk.shape[1:],
@@ -148,13 +180,10 @@ class BatchingSegmenter(Segmenter):
                     tokens = fn(self.params, chunk_dev, sub,
                                 head.length_penalty)
                     outs += np.asarray(tokens)[:real].tolist()
-                pos = 0
+                    pos += real
+                    release_ready()
+            except BaseException as e:  # propagate to still-waiting items
                 for it in group:
-                    k = it.clips.shape[0]
-                    it.result = outs[pos:pos + k]
-                    pos += k
-                    it.done.set()
-            except BaseException as e:  # propagate to all waiters
-                for it in group:
-                    it.error = e
-                    it.done.set()
+                    if not it.done.is_set():
+                        it.error = e
+                        it.done.set()
