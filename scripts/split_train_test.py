@@ -63,6 +63,13 @@ def main(argv=None):
                         help="fraction of each file carved into the test split")
     parser.add_argument("--seed", type=int, default=100,
                         help="the notebook pins np.random.seed(100)")
+    parser.add_argument("--tail_test", type=int, default=0,
+                        help="1: deterministic split — train is always the "
+                             "HEAD (1 - val_ratio) of each file, test the "
+                             "tail. The notebook's random head/tail choice "
+                             "can hand a sparse region to the test side "
+                             "(observed: a 27%% marmoset tail split that "
+                             "kept only 6 of 191 segments for test)")
     parser.add_argument("--n_threads", type=int, default=1)
     args = parser.parse_args(argv)
 
@@ -79,8 +86,22 @@ def main(argv=None):
         default_config=default_config)
 
     np.random.seed(args.seed)
-    (train_a, train_l), (test_a, test_l) = train_val_split(
-        audio_list, label_list, args.val_ratio)
+    if args.tail_test:
+        from whisperseg_tpu.data import split_audio_and_label
+
+        train_a, train_l, test_a, test_l = [], [], [], []
+        for audio, label in zip(audio_list, label_list):
+            (ta, tl), (va, vl) = split_audio_and_label(
+                audio, label, 1 - args.val_ratio)
+            if ta is not None:
+                train_a.append(ta)
+                train_l.append(tl)
+            if va is not None:
+                test_a.append(va)
+                test_l.append(vl)
+    else:
+        (train_a, train_l), (test_a, test_l) = train_val_split(
+            audio_list, label_list, args.val_ratio)
 
     _write_split(args.train_folder, train_a, train_l)
     _write_split(args.test_folder, test_a, test_l)

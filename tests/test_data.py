@@ -428,3 +428,78 @@ def test_load_data_surfaces_failing_file(tmp_path):
         load_data(aps, lps, cb, n_threads=2,
                   default_config={"sr": 16000, "spec_time_step": 0.01,
                                   "min_frequency": 0})
+
+
+def test_split_train_test_tail_test_deterministic(tmp_path):
+    """--tail_test 1 always trains on the HEAD and tests on the TAIL of each
+    file (the notebook's random head/tail choice can hand a sparse region to
+    the test side)."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    make_dataset_dir(src, n_files=1)
+    src_label = json.load(open(next(iter(
+        get_audio_and_label_paths(str(src))[1]))))
+    train_dir, test_dir = tmp_path / "train", tmp_path / "test"
+    out = subprocess.run(
+        [sys.executable, "scripts/split_train_test.py",
+         "--dataset_folder", str(src), "--train_folder", str(train_dir),
+         "--test_folder", str(test_dir), "--val_ratio", "0.4",
+         "--tail_test", "1"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    from whisperseg_tpu.audio import get_audio_duration
+
+    a_tr, l_tr = get_audio_and_label_paths(str(train_dir))
+    a_te, l_te = get_audio_and_label_paths(str(test_dir))
+    # deterministic proportions: head 60% trains, tail 40% tests
+    assert get_audio_duration(a_tr[0]) == pytest.approx(1.2, abs=0.05)
+    assert get_audio_duration(a_te[0]) == pytest.approx(0.8, abs=0.05)
+    split_time = get_audio_duration(a_tr[0])
+    te = json.load(open(l_te[0]))
+    # the tail side keeps every source segment whose OFFSET crosses the
+    # split point, clipped to the tail (split_audio_and_label semantics);
+    # fixture: [0.3, 0.5] stays in train, [1.0, 1.4] straddles 1.2 -> tail
+    # clips its onset to 0.0
+    orig_tail = [t for t in src_label["offset"] if t > split_time]
+    assert len(te["onset"]) == len(orig_tail) == 1
+    assert te["onset"][0] == pytest.approx(0.0, abs=1e-6)
+    assert te["offset"][0] == pytest.approx(1.4 - split_time, abs=0.05)
+
+
+def test_make_synthetic_from_stats_bootstrap(tmp_path):
+    """bootstrap_label resamples the source's empirical timing: durations
+    and gaps stay inside the (jittered) empirical support, events never
+    overlap, and the config keys ride along."""
+    from scripts.make_synthetic_from_stats import bootstrap_label, main
+
+    source = {"onset": [0.2, 0.5, 0.9], "offset": [0.3, 0.62, 1.04],
+              "cluster": ["a", "b", "a"], "sr": 16000,
+              "spec_time_step": 0.01, "tolerance": 0.01}
+    rng = np.random.RandomState(0)
+    label = bootstrap_label(rng, source, duration=20.0)
+    on = np.asarray(label["onset"])
+    off = np.asarray(label["offset"])
+    assert len(on) > 20  # 20 s at ~0.35 s/event pitch
+    assert np.all(off > on) and np.all(on[1:] >= off[:-1])
+    assert float(off[-1]) <= 20.0
+    durs = off - on
+    assert durs.min() >= 0.1 * 0.9 - 1e-9
+    assert durs.max() <= 0.14 * 1.1 + 1e-9
+    assert set(label["cluster"]) <= {"a", "b"}
+    assert label["sr"] == 16000 and label["spec_time_step"] == 0.01
+
+    # CLI end-to-end: n_files wav+json pairs that feed the data layer
+    sp = tmp_path / "src.json"
+    sp.write_text(json.dumps(source))
+    out = tmp_path / "out"
+    main(["--source", str(sp), "--out_dir", str(out), "--n_files", "2",
+          "--duration", "4.0", "--seed", "1"])
+    a, l = get_audio_and_label_paths(str(out))
+    assert len(a) == 2
+    parsed = read_label(l[0])
+    assert len(parsed["onset"]) > 5
