@@ -469,3 +469,34 @@ def test_seconds_to_decimal_past_one_hour():
     assert seconds_to_decimal(3661.0) == "1:01:01.000"
     assert decimal_to_seconds(seconds_to_decimal(3661.5)) == 3661.5
     assert seconds_to_decimal(61.25) == "1:01.250"
+
+
+def test_post_process_predictions_cli(tmp_path):
+    """scripts/post_process_predictions.py: taxonomy bridge + toolbox rules
+    on a prediction table (reference scripts/post_process_predictions.py)."""
+    import subprocess
+    import sys
+
+    pred = {"onset": [round(0.1 + 0.05 * i, 3) for i in range(7)] + [0.6],
+            "offset": [round(0.145 + 0.05 * i, 3) for i in range(7)] + [0.7],
+            "cluster": ["marmoset_ts"] * 7 + ["marmoset_ek"]}
+    inp = tmp_path / "pred.json"
+    inp.write_text(json.dumps(pred))
+    outp = tmp_path / "pred_pp.csv"
+    res = subprocess.run(
+        [sys.executable, "scripts/post_process_predictions.py",
+         "--input", str(inp), "--output", str(outp),
+         "--cluster_map", "marmoset_ts=e_ts,marmoset_ek=e_pe"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr
+    import pandas as pd
+
+    df = pd.read_csv(outp)
+    # the 7-syllable twitter run merged into one e_tw phrase
+    assert df["cluster"].tolist() == ["e_tw", "e_pe"]
+    assert df["onset"].tolist() == [0.1, 0.6]
+    assert df["offset"].tolist() == [0.445, 0.7]
+    stats = json.loads(res.stderr.strip().splitlines()[-1])
+    assert stats == {"segments_in": 8, "segments_out": 2,
+                     "clusters_out": {"e_tw": 1, "e_pe": 1}}
