@@ -91,3 +91,58 @@ def test_pretrain_end_to_end_then_finetune(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(narrowed["frame_head"]["h2_w"])[:, :4],
         np.asarray(params["frame_head"]["h2_w"])[:, :4])
+
+
+@pytest.mark.slow
+def test_device_pool_finetune_end_to_end(tmp_path):
+    """--device_pool trains real wav+json data through the scanned
+    device-resident path and produces a loadable final checkpoint with the
+    same artifact layout as the streaming loop."""
+    import wave
+
+    from whisperseg_tpu.pretrain import gen_example
+    from whisperseg_tpu.training.trainer import TrainArgs, run_training
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.RandomState(5)
+    for i in range(2):
+        a, l = gen_example(rng, 16000, 0.0025, 0.0, 200)
+        with wave.open(str(data / f"f{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((np.clip(a, -1, 1) * 32767).astype("<i2").tobytes())
+        (data / f"f{i}.json").write_text(json.dumps(
+            {"sr": 16000, "spec_time_step": 0.0025, "min_frequency": 0.0,
+             "onset": [float(t) for t in l["onset"]],
+             "offset": [float(t) for t in l["offset"]],
+             "cluster": ["Vocal"] * len(l["onset"])}))
+
+    out = str(tmp_path / "model")
+    final = run_training(TrainArgs(
+        initial_model_path="tiny", model_folder=out,
+        train_dataset_folder=str(data), max_num_iterations=8,
+        min_num_iterations=1, batch_size=2, total_spec_columns=200,
+        max_length=40, frame_head=True, ignore_cluster=True,
+        learning_rate=5e-4, save_every=8, num_workers=1, device_pool=True,
+        timestamp_label_sigma=1.0, n_device=1))
+    assert final and os.path.isdir(final)
+    from whisperseg_tpu.checkpoint import load_checkpoint
+
+    params, cfg = load_checkpoint(final)
+    assert cfg.frame_head and "frame_head" in params
+    lines = [json.loads(x)
+             for x in open(os.path.join(out, "metrics.jsonl"))]
+    assert lines and all(np.isfinite(x["train/loss"]) for x in lines)
+    assert lines[-1]["current_step"] == 8
+    # multi-device request must be rejected explicitly
+    import jax
+
+    if len(jax.devices()) > 1:
+        with pytest.raises(ValueError, match="single-device"):
+            run_training(TrainArgs(
+                initial_model_path="tiny", model_folder=str(tmp_path / "m2"),
+                train_dataset_folder=str(data), max_num_iterations=2,
+                min_num_iterations=1, batch_size=2, total_spec_columns=200,
+                max_length=40, device_pool=True))

@@ -96,6 +96,13 @@ def build_parser():
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize layer activations in backward "
                         "(trades FLOPs for HBM; for large models)")
+    p.add_argument("--device_pool", type=int, default=0,
+                   help="1: device-resident epoch-block training — the host "
+                        "re-crops the whole dataset once per epoch, the "
+                        "device runs the block as one scanned computation "
+                        "(~10x steps/s for small corpora over a dispatch-"
+                        "bound link; single-device only; validation/save "
+                        "cadence rounds to epoch blocks)")
     p.add_argument("--gqa_kv_heads", type=int, default=0,
                    help="convert the initial model to grouped-query attention "
                         "with this many K/V heads before training (uptraining; "
@@ -146,6 +153,7 @@ def main(argv=None):
         tp=a.tp,
         fsdp=bool(a.fsdp),
         remat=bool(a.remat),
+        device_pool=bool(a.device_pool),
         gqa_kv_heads=a.gqa_kv_heads,
         project=a.project,
         run_name=a.run_name,

@@ -260,13 +260,15 @@ def build_scan_train_step(cfg, opt, steps_per_call: int, batch_size: int,
                           timestamp_label_sigma: float = 1.0,
                           use_spec_augment: bool = True,
                           frame_head_weight: float = 2.0,
-                          frame_boundary_weight: float = 1.0):
+                          frame_boundary_weight: float = 1.0,
+                          qat_bits: int = 0):
     """K optimizer steps per dispatch over a device-resident pool.
 
     The counterpart of training/trainer.build_train_step with the batch
     gather moved on-device: ``idx`` is [K, B] int32 into the pool's leading
     axis, and ``lax.scan`` amortizes the tunnel's ~25 ms dispatch cost over
-    K steps."""
+    K steps. ``frame_head_weight <= 0`` trains without frame targets (the
+    pool then need not carry them)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -283,6 +285,10 @@ def build_scan_train_step(cfg, opt, steps_per_call: int, batch_size: int,
             features = spec_augment(features, rng_aug)
 
         def loss_fn(p):
+            if qat_bits:
+                from .ops.quant import fake_quantize_params
+
+                p = fake_quantize_params(p, qat_bits)
             enc = encoder_forward(p, cfg, features,
                                   train=cfg.dropout > 0, dropout_rng=rng_enc)
             logits = decoder_forward_train(
@@ -291,10 +297,12 @@ def build_scan_train_step(cfg, opt, steps_per_call: int, batch_size: int,
             loss = cross_entropy_loss(logits, batch["labels"],
                                       timestamp_weight=timestamp_loss_weight,
                                       timestamp_sigma=timestamp_label_sigma)
-            floss = frame_head_loss(frame_head_forward(p, cfg, enc),
-                                    batch["frame_targets"],
-                                    boundary_weight=frame_boundary_weight)
-            return loss + frame_head_weight * floss
+            if frame_head_weight > 0 and "frame_targets" in batch:
+                floss = frame_head_loss(frame_head_forward(p, cfg, enc),
+                                        batch["frame_targets"],
+                                        boundary_weight=frame_boundary_weight)
+                loss = loss + frame_head_weight * floss
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)

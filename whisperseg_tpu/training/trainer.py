@@ -107,6 +107,11 @@ class TrainArgs:
     tp: int = 1
     fsdp: bool = False
     remat: bool = False  # rematerialize activations (large models / long clips)
+    device_pool: bool = False  # device-resident epoch blocks + scanned steps
+    #                            (~10x steps/s for small corpora over the
+    #                            dispatch-bound tunnel; single-device only;
+    #                            validation/save cadence rounds to epoch
+    #                            blocks)
     gqa_kv_heads: int = 0  # convert the initial model to GQA before training
     project: str = "whisperseg-tpu"
     run_name: Optional[str] = None
@@ -305,6 +310,168 @@ def build_train_step(cfg: WhisperConfig, opt, qat_bits: int = 0,
         return params, opt_state, loss
 
     return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def _run_device_pool_loop(args: TrainArgs, cfg, opt, schedule, params,
+                          opt_state, dataset, segmenter, audio_list_val,
+                          label_list_val, log_metrics) -> Optional[str]:
+    """Epoch-block training over a device-resident pool (``--device_pool``).
+
+    Per block: the host draws ONE fresh random crop of every dataset item
+    (the same augmentation the per-step loader applies, just batched),
+    collates it on-device grouped by frontend configuration (fixed group
+    sizes -> one compiled program per configuration), and a single scanned
+    device call runs ``len(dataset) // batch_size`` optimizer steps. The
+    next block's crops are generated on a worker thread while the device
+    trains (double buffering). Validation / checkpoint cadence rounds up to
+    block boundaries."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..evaluate import evaluate
+    from ..pretrain import build_scan_train_step
+
+    N = len(dataset)
+    B = args.batch_size
+    steps_per_block = max(N // B, 1)
+
+    by_key: dict = {}
+    for i, label in enumerate(dataset.label_list):
+        key = (label["sr"], label["spec_time_step"],
+               label.get("min_frequency", 0))
+        by_key.setdefault(key, []).append(i)
+    key_order = list(by_key)
+
+    def make_items():
+        rngs = [np.random.RandomState(np.random.randint(2 ** 31))
+                for _ in range(N)]
+        return [[dataset.__getitem__(i, rng=rngs[i]) for i in by_key[k]]
+                for k in key_order]
+
+    def collate_device(groups):
+        batches = [dataset.collate(items) for items in groups]
+        pool = {
+            "input_features": np.concatenate(
+                [b["input_features"] for b in batches]),
+            "decoder_input_ids": np.concatenate(
+                [b["decoder_input_ids"] for b in batches]),
+            "labels": np.concatenate([b["labels"] for b in batches]),
+        }
+        if dataset.frame_targets:
+            pool["frame_targets"] = {
+                k: np.concatenate([b["frame_targets"][k] for b in batches])
+                for k in ("vocal", "onset", "offset", "cluster")}
+        return jax.tree.map(jnp.asarray, pool)
+
+    train_k = build_scan_train_step(
+        cfg, opt, steps_per_block, B,
+        timestamp_loss_weight=args.timestamp_loss_weight,
+        timestamp_label_sigma=args.timestamp_label_sigma,
+        use_spec_augment=args.spec_augment,
+        frame_head_weight=args.frame_head_weight if args.frame_head else 0.0,
+        frame_boundary_weight=args.frame_boundary_weight,
+        qat_bits=args.qat_bits)
+
+    pending: dict = {}
+
+    def gen_worker():
+        pending["items"] = make_items()
+
+    groups = make_items()
+    rng = jax.random.PRNGKey(args.seed)
+    step = 0
+    epoch = 0
+    val_score_history: List = []
+    best_step: Optional[int] = None
+    early_stop = False
+    start_time = time.time()
+    timer_t0 = time.time()
+
+    while step < args.max_num_iterations and not early_stop:
+        pool = collate_device(groups)
+        t_gen = threading.Thread(target=gen_worker)
+        t_gen.start()
+
+        # crop rows are pool-order; sample a shuffled full pass over the pool
+        perm = np.random.permutation(max(N, steps_per_block * B))[
+            : steps_per_block * B] % N
+        idx = perm.astype(np.int32).reshape(steps_per_block, B)
+        rng, sub = jax.random.split(rng)
+        params, opt_state, losses = train_k(params, opt_state, pool,
+                                            jnp.asarray(idx), sub)
+        prev = step
+        k = min(steps_per_block, args.max_num_iterations - step)
+        step += k
+        epoch += 1
+        segmenter.params = params
+
+        mean_loss = float(np.mean(np.asarray(losses)[:k]))  # real device sync
+        lr_now = float(schedule(step))
+        rate = step / max(time.time() - timer_t0, 1e-9)
+        print(f"Epoch: {epoch}, current_step: {step}, "
+              f"learning rate: {lr_now:.8f}, Loss: {mean_loss:.4f}")
+        log_metrics({"current_step": step, "epoch": epoch,
+                     "train/loss": mean_loss, "train/learning_rate": lr_now,
+                     "perf/steps_per_s": round(rate, 2)})
+        frac = step / args.max_num_iterations
+        eta = int((time.time() - start_time) / frac * (1 - frac))
+        json.dump({"progress": int(np.round(frac * 100)),
+                   "eta": "%02d:%02d:%02d" % (eta // 3600, (eta % 3600) // 60,
+                                              eta % 60)},
+                  open(os.path.join(args.model_folder, "status.json"), "w"))
+
+        crossed = (lambda every: every is not None
+                   and step // every > prev // every)
+        if ((crossed(args.validate_every) or args.validate_per_epoch)
+                and len(audio_list_val) > 0):
+            eval_res = evaluate(audio_list_val, label_list_val, segmenter,
+                                args.batch_size, args.max_length,
+                                num_trials=1, num_beams=1, verbose=False)
+            seg_f1 = eval_res["segment_wise"][-1]
+            frame_f1 = eval_res["frame_wise"][-1]
+            score = (seg_f1 + frame_f1) * 0.5
+            print(f"Epoch: {epoch}, current_step: {step}, "
+                  f"validation segment F1: {seg_f1:.4f}, "
+                  f"frame F1: {frame_f1:.4f}")
+            log_metrics({"current_step": step, "validate/score": score,
+                         "validate/segment_score": seg_f1,
+                         "validate/frame_score": frame_f1})
+            is_new_best = (not val_score_history
+                           or score > max(s for _, s in val_score_history))
+            val_score_history.append((step, score))
+            if is_new_best:
+                best_step = step
+                save_training_checkpoint(args.model_folder, params, cfg,
+                                         step, args.max_to_keep,
+                                         keep_step=best_step)
+        if crossed(args.save_every) or args.save_per_epoch:
+            save_training_checkpoint(args.model_folder, params, cfg, step,
+                                     args.max_to_keep, keep_step=best_step)
+        if (step >= 0.5 * args.max_num_iterations
+                and len(val_score_history) >= 3
+                and val_score_history[-1][1] < val_score_history[-2][1]
+                and val_score_history[-2][1] < val_score_history[-3][1]):
+            early_stop = True
+
+        t_gen.join()
+        groups = pending["items"]
+
+    if not os.path.exists(os.path.join(args.model_folder,
+                                       f"checkpoint-{step}")):
+        save_training_checkpoint(args.model_folder, params, cfg, step,
+                                 args.max_to_keep, keep_step=best_step)
+    json.dump({"progress": 100, "eta": "00:00:00"},
+              open(os.path.join(args.model_folder, "status.json"), "w"))
+    if val_score_history:
+        best_step = sorted(val_score_history, key=lambda x: -x[1])[0][0]
+    final = finalize_best_checkpoint(args.model_folder, best_step)
+    try:
+        os.remove(os.path.join(args.model_folder, "status.json"))
+    except OSError:
+        pass
+    return final
 
 
 def run_training(args: TrainArgs) -> Optional[str]:
@@ -510,6 +677,28 @@ def run_training(args: TrainArgs) -> Optional[str]:
             f.write(json.dumps(d) + "\n")
         if wandb is not None:
             wandb.log(d)
+
+    if args.device_pool:
+        # -------------------------------------------------- device-pool loop
+        # Real-data training over the remote-dispatch tunnel runs ~1-2
+        # steps/s because every step pays a host->device batch transfer
+        # (DEVNOTES); this opt-in path re-crops the WHOLE dataset once per
+        # epoch block on the host, collates it device-resident (one compiled
+        # frontend program per configuration), and trains the block as one
+        # lax.scan — the same formulation that gives synthetic pretraining
+        # its ~20 steps/s (whisperseg_tpu/pretrain.py). Small-corpus
+        # finetunes drop from hours to minutes. Single-device only.
+        if multi_device:
+            raise ValueError("--device_pool supports single-device training "
+                             "only (pass --n_device 1, and drop --tp/--fsdp)")
+        final = _run_device_pool_loop(args, cfg, opt, schedule, params,
+                                      opt_state, dataset, segmenter,
+                                      audio_list_val, label_list_val,
+                                      log_metrics)
+        if final:
+            print(f"Final checkpoint: {final}")
+        print("All Done!")
+        return final
 
     # ----------------------------------------------------------------- the loop
     from ..profiling import StepTimer
