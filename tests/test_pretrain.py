@@ -33,6 +33,12 @@ def test_gen_example_labels_valid():
             assert np.all(on[1:] >= off[:-1])
             assert label["cluster_id"].min() >= 0
             assert label["cluster_id"].max() < 5
+            # ids canonicalized by first appearance: each new id is exactly
+            # one more than the largest id seen so far
+            seen = -1
+            for cid in label["cluster_id"]:
+                assert cid <= seen + 1
+                seen = max(seen, int(cid))
 
 
 def test_gen_example_sometimes_empty():

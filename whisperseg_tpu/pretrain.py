@@ -166,9 +166,18 @@ def gen_example(rng: np.random.RandomState, sr: int, spec_time_step: float,
         n_events = rng.randint(1, max_events + 1)
         gap_scale = window_s / max(n_events, 1)
         cursor = rng.uniform(0.0, 0.5 * gap_scale)
+        # cluster ids are CANONICALIZED by order of first appearance (first
+        # event's cluster = 0, next novel signature = 1, ...): a random
+        # signature->id assignment would make the decoder's cluster digits
+        # unpredictable in principle (measured: 40k-step pretrain where the
+        # frame head converged but decode CE floored near the cluster
+        # entropy), while first-appearance ordering is inferable from the
+        # audio alone — the in-context clustering task the reference's
+        # multi-cluster decode actually requires
+        relabel: Dict[int, int] = {}
         for _ in range(n_events):
-            cid = rng.randint(n_clusters)
-            sig = sigs[cid]
+            raw_cid = rng.randint(n_clusters)
+            sig = sigs[raw_cid]
             dur = float(rng.uniform(*sig["dur_range"]))
             if cursor + dur >= n / sr:
                 break
@@ -178,7 +187,7 @@ def gen_example(rng: np.random.RandomState, sr: int, spec_time_step: float,
                     rng, sr, b - a, sig)
                 onsets.append(cursor)
                 offsets.append(cursor + dur)
-                cluster_ids.append(cid)
+                cluster_ids.append(relabel.setdefault(raw_cid, len(relabel)))
             cursor += dur + max(2.5 * spec_time_step,
                                 float(rng.exponential(0.6 * gap_scale)))
     label = {
@@ -372,7 +381,7 @@ class PretrainArgs:
     spec: PoolSpec = field(default_factory=PoolSpec)
 
 
-def run_pretraining(args: PretrainArgs) -> Optional[str]:
+def run_pretraining(args: PretrainArgs, use_spec_augment: bool = False) -> Optional[str]:
     import jax
     import jax.numpy as jnp
 
@@ -393,8 +402,13 @@ def run_pretraining(args: PretrainArgs) -> Optional[str]:
                                    args.warmup_steps, args.steps, "linear",
                                    freeze_encoder=False)
     opt_state = opt.init(params)
+    # spec_augment defaults OFF here: pool refreshes supply effectively
+    # infinite fresh data, and masking time stripes while the labels still
+    # demand the masked events only corrupts the decoder's task (measured:
+    # contributes to the decode-path CE floor of the first 40k-step run)
     train_k = build_scan_train_step(cfg, opt, args.steps_per_call,
-                                    args.batch_size)
+                                    args.batch_size,
+                                    use_spec_augment=use_spec_augment)
     eval_loss = build_eval_loss(cfg)
 
     rng = jax.random.PRNGKey(args.seed + 1)
